@@ -1,0 +1,374 @@
+"""Configuration system: typed dataclasses + CLI parser.
+
+Replaces the reference's flat argparse namespace (src/utils/parser.py:4-195,
+consumed as a module global at src/run-nerf.py:40) with structured dataclasses
+that are explicitly threaded through the framework. Flag names mirror the
+reference's where sensible so command lines port over directly.
+
+Reference quirks intentionally fixed (SURVEY.md appendix):
+  * `--skip` had `type=list` (broken for user input) -> comma-separated ints.
+  * `--model` advertised unimplemented 'ensemble'/'sires' -> only real models.
+  * `--log_space` store_false confusion -> explicit --linear_freqs to disable.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Optional, Tuple
+
+import yaml
+
+
+@dataclass(frozen=True)
+class EncoderConfig:
+    """Positional-encoding options (reference: parser.py:12-34)."""
+
+    d_input: int = 3
+    n_freqs: int = 10
+    n_freqs_views: int = 4
+    log_space: bool = True          # reference default: log-spaced frequencies
+    no_dirs: bool = False
+    # FreeNeRF-style annealed frequency masking: number of steps over which the
+    # visible frequency band linearly grows. 0 disables (identity mask).
+    freq_reg_end: int = 0
+
+
+@dataclass(frozen=True)
+class ModelConfig:
+    """Model options (reference: parser.py:36-53)."""
+
+    model: str = "nerf"             # nerf | sinerf
+    d_filter: int = 256
+    n_layers: int = 8
+    skip: Tuple[int, ...] = (4,)
+    # Density activation applied to the raw sigma head. The reference NeRF
+    # emits raw (unactivated) sigma (models.py:105,127); SiNeRF applies ReLU
+    # (models.py:273-277). 'none' reproduces reference NeRF.
+    density_activation: str = "none"  # none | relu | trunc_exp
+
+
+@dataclass(frozen=True)
+class DataConfig:
+    """Dataset options (reference: parser.py:55-91)."""
+
+    dataset: str = "synthetic"      # synthetic | llff | sphere (procedural test scene)
+    scene: str = "lego"
+    n_imgs: int = 100
+    white_bkgd: bool = False
+    factor: int = 4
+    bd_factor: float = 0.75
+    no_recenter: bool = False
+    data_root: str = "../datasets"
+    val_ratio: float = 0.15
+    test_ratio: float = 0.15
+    # Downsample factor applied to synthetic images (1 = full res).
+    downsample: int = 1
+
+
+@dataclass(frozen=True)
+class SamplingConfig:
+    """Ray sampling + occupancy grid (reference: run-nerf.py:92-98,287-295).
+
+    Two strategies, both dense/static-shape (TPU-first redesign of nerfacc's
+    ragged packed sampling, SURVEY.md section 7):
+      * 'occgrid': n_samples uniform(-stratified) samples inside the ray/AABB
+        intersection, masked by a binarized multi-level occupancy grid.
+      * 'hierarchical': classic NeRF coarse stratified + inverse-CDF fine.
+    """
+
+    strategy: str = "occgrid"       # occgrid | hierarchical
+    n_samples: int = 512            # samples/ray (occgrid) or coarse count
+    n_fine: int = 128               # fine samples (hierarchical only)
+    render_step_size: float = 5e-3  # reference fixed march step
+    grid_resolution: int = 128
+    grid_levels: int = 1            # 1 for synthetic, 4 for llff (run-nerf.py:92-93)
+    occ_thre: float = 1e-2
+    ema_decay: float = 0.95
+    update_interval: int = 16
+    warmup_steps: int = 256
+    # Fraction of grid cells refreshed per update after warmup (round-robin,
+    # static shapes; nerfacc samples 1/4 of cells per update).
+    update_parts: int = 4
+    perturb: bool = True            # stratified jitter during training
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    """Training options (reference: parser.py:93-172)."""
+
+    n_iters: int = 8000             # 20**3 default (parser.py:96-98)
+    batch_size: int = 1024
+    lro: float = 5e-4
+    decay_rate: float = 0.1
+    Td: int = 250000
+    scheduler: str = "exp"          # const | exp
+    seed: int = 42
+    # frequency/weight regularization (run-nerf.py:266-279)
+    ao: Optional[float] = None
+    reg_ratio: float = 0.5
+    reg: str = "l1"                 # l1 | l2
+    # occlusion regularization (src/core/loss.py)
+    occ_a: Optional[float] = None
+    occ_b: Optional[float] = None
+    occ_func: str = "linear"        # linear | exp
+    beta: Optional[float] = None    # gates occlusion reg (reference: gates only)
+    # numerics
+    dtype: str = "float32"          # compute dtype for MLP matmuls: float32|bfloat16
+    # validation cadence
+    val: bool = False
+    val_rate: int = 500
+    # checkpointing (new capability; reference only saves final state dict)
+    ckpt_every: int = 0             # 0 = only final
+    resume: bool = False
+
+
+@dataclass(frozen=True)
+class ParallelConfig:
+    """Device mesh options (new; the reference is single-GPU)."""
+
+    data_axis: str = "data"
+    n_devices: int = 0              # 0 = all visible devices
+
+
+@dataclass(frozen=True)
+class LogConfig:
+    out_dir: str = "../out/"
+    debug: bool = False
+    render_only: bool = False
+    use_wandb: bool = False         # wandb optional; JSON-lines always written
+
+
+@dataclass(frozen=True)
+class Config:
+    encoder: EncoderConfig = field(default_factory=EncoderConfig)
+    model: ModelConfig = field(default_factory=ModelConfig)
+    data: DataConfig = field(default_factory=DataConfig)
+    sampling: SamplingConfig = field(default_factory=SamplingConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+    parallel: ParallelConfig = field(default_factory=ParallelConfig)
+    log: LogConfig = field(default_factory=LogConfig)
+
+    def replace(self, **sections) -> "Config":
+        return dataclasses.replace(self, **sections)
+
+    def to_dict(self) -> dict:
+        return dataclasses.asdict(self)
+
+    @staticmethod
+    def from_dict(d: dict) -> "Config":
+        def build(cls, sub):
+            fields = {f.name: f for f in dataclasses.fields(cls)}
+            kwargs = {}
+            for k, v in sub.items():
+                if k not in fields:
+                    raise ValueError(f"Unknown config key: {cls.__name__}.{k}")
+                if k == "skip" and isinstance(v, (list, tuple)):
+                    v = tuple(int(s) for s in v)
+                kwargs[k] = v
+            return cls(**kwargs)
+
+        sections = {}
+        for f in dataclasses.fields(Config):
+            if f.name in d:
+                sections[f.name] = build(f.type if isinstance(f.type, type) else
+                                         _SECTION_TYPES[f.name], d[f.name])
+        return Config(**sections)
+
+    def save_yaml(self, path: str) -> None:
+        with open(path, "w") as fh:
+            yaml.safe_dump(self.to_dict(), fh, sort_keys=False)
+
+    @staticmethod
+    def load_yaml(path: str) -> "Config":
+        with open(path) as fh:
+            return Config.from_dict(yaml.safe_load(fh))
+
+
+_SECTION_TYPES = {
+    "encoder": EncoderConfig,
+    "model": ModelConfig,
+    "data": DataConfig,
+    "sampling": SamplingConfig,
+    "train": TrainConfig,
+    "parallel": ParallelConfig,
+    "log": LogConfig,
+}
+
+
+def config_parser() -> argparse.ArgumentParser:
+    """CLI mirroring src/utils/parser.py flag names (9 groups, 30+ flags)."""
+    p = argparse.ArgumentParser(description="Train NeRF for view synthesis (TPU).")
+    g = p.add_argument_group("encoder")
+    g.add_argument("--d_input", default=3, type=int)
+    g.add_argument("--n_freqs", default=10, type=int)
+    g.add_argument("--linear_freqs", action="store_true",
+                   help="Use linearly spaced frequencies (default: log-spaced)")
+    g.add_argument("--no_dirs", action="store_true")
+    g.add_argument("--n_freqs_views", default=4, type=int)
+    g.add_argument("--freq_reg_end", default=0, type=int,
+                   help="FreeNeRF frequency-mask annealing steps (0 = off)")
+
+    g = p.add_argument_group("model")
+    g.add_argument("--model", choices=["nerf", "sinerf"], default="nerf")
+    g.add_argument("--d_filter", default=256, type=int)
+    g.add_argument("--n_layers", default=8, type=int)
+    g.add_argument("--skip", default="4", type=str,
+                   help="Comma-separated skip-connection layer indices")
+    g.add_argument("--density_activation", choices=["none", "relu", "trunc_exp"],
+                   default="none")
+
+    g = p.add_argument_group("data")
+    g.add_argument("--dataset", choices=["synthetic", "llff", "sphere"],
+                   default="synthetic")
+    g.add_argument("--scene", default="lego", type=str)
+    g.add_argument("--n_imgs", default=100, type=int)
+    g.add_argument("--white_bkgd", action="store_true")
+    g.add_argument("--factor", default=4, type=int)
+    g.add_argument("--bd_factor", default=0.75, type=float)
+    g.add_argument("--no_recenter", action="store_true")
+    g.add_argument("--data_root", default="../datasets", type=str)
+    g.add_argument("--downsample", default=1, type=int)
+
+    g = p.add_argument_group("sampling")
+    g.add_argument("--strategy", choices=["occgrid", "hierarchical"],
+                   default="occgrid")
+    g.add_argument("--n_samples", default=512, type=int)
+    g.add_argument("--n_fine", default=128, type=int)
+    g.add_argument("--render_step_size", default=5e-3, type=float)
+    g.add_argument("--grid_resolution", default=128, type=int)
+    g.add_argument("--occ_thre", default=1e-2, type=float)
+
+    g = p.add_argument_group("training")
+    g.add_argument("--n_iters", default=20**3, type=int)
+    g.add_argument("--batch_size", default=1024, type=int)
+    g.add_argument("--lro", default=5e-4, type=float)
+    g.add_argument("--decay_rate", default=0.1, type=float)
+    g.add_argument("--Td", default=250000, type=int)
+    g.add_argument("--scheduler", choices=["const", "exp"], default="exp")
+    g.add_argument("--seed", default=42, type=int)
+    g.add_argument("--dtype", choices=["float32", "bfloat16"], default="float32")
+
+    g = p.add_argument_group("validation")
+    g.add_argument("--val", action="store_true")
+    g.add_argument("--val_rate", default=500, type=int)
+
+    g = p.add_argument_group("regularizers")
+    g.add_argument("--ao", default=None, type=float)
+    g.add_argument("--reg_ratio", default=0.5, type=float)
+    g.add_argument("--reg", choices=["l1", "l2"], default="l1")
+    g.add_argument("--a", default=None, type=float)
+    g.add_argument("--b", default=None, type=float)
+    g.add_argument("--func", choices=["linear", "exp"], default="linear")
+    g.add_argument("--beta", default=None, type=float)
+
+    g = p.add_argument_group("logging")
+    g.add_argument("--out_dir", default="../out/", type=str)
+    g.add_argument("--use_wandb", action="store_true")
+    g.add_argument("--ckpt_every", default=0, type=int)
+    g.add_argument("--resume", action="store_true")
+
+    g = p.add_argument_group("debugging")
+    g.add_argument("--debug", action="store_true")
+    g.add_argument("--render_only", action="store_true")
+
+    g = p.add_argument_group("config-file")
+    g.add_argument("--config", default=None, type=str,
+                   help="YAML config file (CLI flags override)")
+    return p
+
+
+def config_from_args(argv=None) -> Config:
+    parser = config_parser()
+    args = parser.parse_args(argv)
+    base = Config.load_yaml(args.config) if args.config else Config()
+    explicit = _explicit_flags(parser, argv)
+
+    def pick(name, current):
+        return getattr(args, name) if (args.config is None or name in explicit) \
+            else current
+
+    grid_levels = 1 if pick("dataset", base.data.dataset) != "llff" else 4
+    return Config(
+        encoder=EncoderConfig(
+            d_input=pick("d_input", base.encoder.d_input),
+            n_freqs=pick("n_freqs", base.encoder.n_freqs),
+            n_freqs_views=pick("n_freqs_views", base.encoder.n_freqs_views),
+            log_space=not args.linear_freqs if (args.config is None or
+                      "linear_freqs" in explicit) else base.encoder.log_space,
+            no_dirs=pick("no_dirs", base.encoder.no_dirs),
+            freq_reg_end=pick("freq_reg_end", base.encoder.freq_reg_end),
+        ),
+        model=ModelConfig(
+            model=pick("model", base.model.model),
+            d_filter=pick("d_filter", base.model.d_filter),
+            n_layers=pick("n_layers", base.model.n_layers),
+            skip=tuple(int(s) for s in str(pick("skip", ",".join(
+                map(str, base.model.skip)))).split(",") if s != ""),
+            density_activation=pick("density_activation",
+                                    base.model.density_activation),
+        ),
+        data=DataConfig(
+            dataset=pick("dataset", base.data.dataset),
+            scene=pick("scene", base.data.scene),
+            n_imgs=pick("n_imgs", base.data.n_imgs),
+            white_bkgd=pick("white_bkgd", base.data.white_bkgd),
+            factor=pick("factor", base.data.factor),
+            bd_factor=pick("bd_factor", base.data.bd_factor),
+            no_recenter=pick("no_recenter", base.data.no_recenter),
+            data_root=pick("data_root", base.data.data_root),
+            downsample=pick("downsample", base.data.downsample),
+        ),
+        sampling=SamplingConfig(
+            strategy=pick("strategy", base.sampling.strategy),
+            n_samples=pick("n_samples", base.sampling.n_samples),
+            n_fine=pick("n_fine", base.sampling.n_fine),
+            render_step_size=pick("render_step_size",
+                                  base.sampling.render_step_size),
+            grid_resolution=pick("grid_resolution",
+                                 base.sampling.grid_resolution),
+            grid_levels=grid_levels,
+            occ_thre=pick("occ_thre", base.sampling.occ_thre),
+        ),
+        train=TrainConfig(
+            n_iters=pick("n_iters", base.train.n_iters),
+            batch_size=pick("batch_size", base.train.batch_size),
+            lro=pick("lro", base.train.lro),
+            decay_rate=pick("decay_rate", base.train.decay_rate),
+            Td=pick("Td", base.train.Td),
+            scheduler=pick("scheduler", base.train.scheduler),
+            seed=pick("seed", base.train.seed),
+            dtype=pick("dtype", base.train.dtype),
+            ao=pick("ao", base.train.ao),
+            reg_ratio=pick("reg_ratio", base.train.reg_ratio),
+            reg=pick("reg", base.train.reg),
+            occ_a=pick("a", base.train.occ_a),
+            occ_b=pick("b", base.train.occ_b),
+            occ_func=pick("func", base.train.occ_func),
+            beta=pick("beta", base.train.beta),
+            val=pick("val", base.train.val),
+            val_rate=pick("val_rate", base.train.val_rate),
+            ckpt_every=pick("ckpt_every", base.train.ckpt_every),
+            resume=pick("resume", base.train.resume),
+        ),
+        parallel=base.parallel,
+        log=LogConfig(
+            out_dir=pick("out_dir", base.log.out_dir),
+            debug=pick("debug", base.log.debug),
+            render_only=pick("render_only", base.log.render_only),
+            use_wandb=pick("use_wandb", base.log.use_wandb),
+        ),
+    )
+
+
+def _explicit_flags(parser, argv) -> set:
+    """Names of flags explicitly present on the command line."""
+    import sys
+    tokens = list(sys.argv[1:] if argv is None else argv)
+    names = set()
+    for action in parser._actions:
+        for opt in action.option_strings:
+            if any(t == opt or t.startswith(opt + "=") for t in tokens):
+                names.add(action.dest)
+    return names

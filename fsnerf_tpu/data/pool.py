@@ -1,0 +1,83 @@
+"""Device-resident ray pool: the TPU-native replacement for torch DataLoader.
+
+The reference streams precomputed per-ray tensors through 8 DataLoader worker
+processes (splitter.py:123-132). On TPU the entire few-shot ray set fits in
+HBM (8 views x 800^2 x 9 floats ~ 180 MB), so batches are drawn on-device
+with jax.random — zero host traffic in the train loop.
+
+Two sampling modes:
+  * with_replacement (default): one jax.random.randint per step — statistically
+    equivalent to reshuffled epochs for the reference's regime (8k steps x
+    1024 rays out of 5.1M rays).
+  * permuted epochs: jax.random.permutation per epoch, matching the
+    DataLoader's without-replacement shuffling exactly.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class RayPool:
+    """Holds flattened (rays_o, rays_d, rgb) on device and samples batches."""
+
+    def __init__(
+        self,
+        rays_o: np.ndarray,
+        rays_d: np.ndarray,
+        rgb: np.ndarray,
+        sharding=None,
+    ):
+        """Args are [N, 3] host arrays; `sharding` optionally places the pool
+        sharded across a mesh (data-parallel training reads its local shard).
+        """
+        assert rays_o.shape == rays_d.shape == rgb.shape
+        put = (lambda a: jax.device_put(jnp.asarray(a, jnp.float32), sharding)
+               if sharding is not None
+               else jnp.asarray(a, jnp.float32))
+        self.rays_o = put(rays_o)
+        self.rays_d = put(rays_d)
+        self.rgb = put(rgb)
+        self.n = rays_o.shape[0]
+
+    def sample(
+        self, key: jax.Array, batch_size: int
+    ) -> Tuple[jax.Array, jax.Array, jax.Array]:
+        """Draw a with-replacement batch (jit-safe; call inside the step)."""
+        idx = jax.random.randint(key, (batch_size,), 0, self.n)
+        return self.rays_o[idx], self.rays_d[idx], self.rgb[idx]
+
+    def epoch_permutation(self, key: jax.Array) -> jax.Array:
+        """Without-replacement ordering for one epoch."""
+        return jax.random.permutation(key, self.n)
+
+    def gather(self, idx: jax.Array):
+        return self.rays_o[idx], self.rays_d[idx], self.rgb[idx]
+
+
+def pool_from_images(
+    imgs: np.ndarray,
+    poses: np.ndarray,
+    hwf,
+    ndc: bool = False,
+    sharding=None,
+) -> RayPool:
+    """Build a pool from [N, H, W, 3] images + [N, 4, 4] poses.
+
+    Mirrors BlenderDataset.__build_data (blender.py:174-191) / LLFF
+    __build_samples (llff.py:59-90) but vectorized on device.
+    """
+    from fsnerf_tpu.data.rays import get_rays_batch, to_ndc
+
+    o, d = get_rays_batch(jnp.asarray(poses, jnp.float32), hwf)
+    o = o.reshape(-1, 3)
+    d = d.reshape(-1, 3)
+    if ndc:
+        o, d = to_ndc(o, d, hwf, 1.0)
+    rgb = jnp.asarray(imgs, jnp.float32).reshape(-1, 3)
+    return RayPool(np.asarray(o), np.asarray(d), np.asarray(rgb),
+                   sharding=sharding)

@@ -1,0 +1,186 @@
+"""Ray sampling: dense uniform/stratified lattices + inverse-CDF resampling.
+
+TPU-first redesign of nerfacc's CUDA grid traversal
+(reference rendering.py:66-74: OccGridEstimator.sampling with fixed step 5e-3,
+stratified jitter in train mode, near_plane=0, far_plane=1e10). Instead of
+ragged packed samples, every ray gets a fixed number of samples inside its
+ray/AABB intersection — static shapes XLA can tile onto the MXU — and
+out-of-grid samples are masked, not dropped.
+
+Also implements classic-NeRF hierarchical sampling (stratified coarse bins +
+inverse-CDF fine resampling), a capability required by BASELINE.json config 2
+that the reference expresses through nerfacc's estimator instead.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from fsnerf_tpu.data.rays import ray_aabb_intersect
+
+
+def uniform_samples(
+    rays_o: jax.Array,
+    rays_d: jax.Array,
+    aabb: jax.Array,
+    n_samples: int,
+    key: Optional[jax.Array] = None,
+    near: float = 0.0,
+    far: float = 1e10,
+    step_size: Optional[float] = None,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Dense per-ray sample lattice inside the ray/AABB intersection.
+
+    Mirrors nerfacc's fixed-step marching semantics: samples are interval
+    midpoints t_i = t_min + (i + 1/2) * dt with dt = (t_max - t_min) /
+    n_samples per ray. In stratified mode (key given) the whole lattice gets a
+    single per-ray uniform phase jitter, like nerfacc's stratified marching.
+
+    If `step_size` is given, rays whose intersection is shorter than
+    n_samples * step_size use step_size spacing instead (denser near geometry,
+    matching the reference's fixed 5e-3 step when the segment is short);
+    samples beyond t_max are masked.
+
+    Returns:
+      t_mid: [R, S] sample midpoints.
+      deltas: [R, S] interval lengths.
+      valid: [R, S] bool mask (False for missed rays / beyond-exit samples).
+    """
+    R = rays_o.shape[0]
+    t_min, t_max = ray_aabb_intersect(rays_o, rays_d, aabb, near, far)
+    hit = t_min < t_max
+    t_min = jnp.where(hit, t_min, 0.0)
+    t_max = jnp.where(hit, t_max, 1.0)
+
+    seg = t_max - t_min                                  # [R]
+    dt = seg / n_samples                                 # [R]
+    if step_size is not None:
+        # March at the fixed step when the sample budget covers the segment;
+        # otherwise spread the budget uniformly so the exit plane is reached.
+        dt = jnp.where(seg > n_samples * step_size, dt,
+                       jnp.full_like(seg, step_size))
+
+    idx = jnp.arange(n_samples, dtype=jnp.float32)       # [S]
+    if key is not None:
+        u = jax.random.uniform(key, (R, 1))              # per-ray phase
+    else:
+        u = jnp.full((R, 1), 0.5)
+    t_mid = t_min[:, None] + (idx[None, :] + u) * dt[:, None]
+    deltas = jnp.broadcast_to(dt[:, None], (R, n_samples))
+    valid = hit[:, None] & (t_mid < t_max[:, None])
+    return t_mid, deltas, valid
+
+
+def stratified_samples(
+    rays_o: jax.Array,
+    rays_d: jax.Array,
+    near: float,
+    far: float,
+    n_samples: int,
+    key: Optional[jax.Array] = None,
+) -> Tuple[jax.Array, jax.Array]:
+    """Classic-NeRF stratified sampling in [near, far] (per-bin jitter).
+
+    Returns:
+      t_vals: [R, S] sorted sample positions.
+      deltas: [R, S] forward differences; the last delta closes to `far`.
+    """
+    R = rays_o.shape[0]
+    edges = jnp.linspace(near, far, n_samples + 1, dtype=jnp.float32)
+    lower, upper = edges[:-1], edges[1:]
+    if key is not None:
+        u = jax.random.uniform(key, (R, n_samples))
+    else:
+        u = jnp.full((R, n_samples), 0.5)
+    t_vals = lower[None, :] + (upper - lower)[None, :] * u
+    deltas = _deltas_from_t(t_vals, far)
+    return t_vals, deltas
+
+
+def _deltas_from_t(t_vals: jax.Array, far: float) -> jax.Array:
+    d = jnp.diff(t_vals, axis=-1)
+    last = jnp.maximum(far - t_vals[..., -1:], 0.0)
+    return jnp.concatenate([d, last], axis=-1)
+
+
+def sample_pdf(
+    key: Optional[jax.Array],
+    bins: jax.Array,
+    weights: jax.Array,
+    n_samples: int,
+) -> jax.Array:
+    """Inverse-CDF sampling of `n_samples` points from a piecewise-constant PDF.
+
+    Classic NeRF hierarchical resampling: `bins` are the B+1 edges (coarse
+    sample midpoints), `weights` the B coarse compositing weights. Deterministic
+    (key=None) uses evenly spaced CDF quantiles.
+
+    Implemented with searchsorted + gather — O(S log B), static shapes.
+
+    Args:
+      bins: [R, B+1]; weights: [R, B].
+
+    Returns:
+      samples: [R, n_samples], within [bins[0], bins[-1]], unsorted.
+    """
+    R, B = weights.shape
+    weights = weights + 1e-5                              # avoid nans
+    pdf = weights / jnp.sum(weights, axis=-1, keepdims=True)
+    cdf = jnp.cumsum(pdf, axis=-1)
+    cdf = jnp.concatenate([jnp.zeros((R, 1)), cdf], axis=-1)  # [R, B+1]
+
+    if key is None:
+        u = jnp.linspace(0.0, 1.0 - 1e-5, n_samples)
+        u = jnp.broadcast_to(u, (R, n_samples))
+    else:
+        u = jax.random.uniform(key, (R, n_samples), maxval=1.0 - 1e-5)
+
+    # index of the CDF bin containing each u
+    inds = jax.vmap(lambda c, uu: jnp.searchsorted(c, uu, side="right"))(cdf, u)
+    below = jnp.clip(inds - 1, 0, B)
+    above = jnp.clip(inds, 0, B)
+
+    cdf_below = jnp.take_along_axis(cdf, below, axis=-1)
+    cdf_above = jnp.take_along_axis(cdf, above, axis=-1)
+    bin_below = jnp.take_along_axis(bins, below, axis=-1)
+    bin_above = jnp.take_along_axis(bins, above, axis=-1)
+
+    denom = cdf_above - cdf_below
+    denom = jnp.where(denom < 1e-5, 1.0, denom)
+    frac = (u - cdf_below) / denom
+    return bin_below + frac * (bin_above - bin_below)
+
+
+def hierarchical_samples(
+    key: Optional[jax.Array],
+    t_coarse: jax.Array,
+    weights_coarse: jax.Array,
+    n_fine: int,
+    far: float,
+) -> Tuple[jax.Array, jax.Array]:
+    """Combine coarse samples with inverse-CDF fine samples, sorted.
+
+    Bins for the PDF are midpoints of the coarse samples (classic NeRF): the
+    first/last coarse weights are dropped to match the B-1 interior bins.
+
+    Args:
+      t_coarse: [R, C]; weights_coarse: [R, C].
+
+    Returns:
+      t_all: [R, C + n_fine] sorted positions; deltas: same shape.
+    """
+    mids = 0.5 * (t_coarse[..., 1:] + t_coarse[..., :-1])     # [R, C-1]
+    t_fine = sample_pdf(key, mids, weights_coarse[..., 1:-1], n_fine)
+    t_all = jnp.sort(jnp.concatenate([t_coarse, t_fine], axis=-1), axis=-1)
+    deltas = _deltas_from_t(t_all, far)
+    return t_all, deltas
+
+
+def sample_points(
+    rays_o: jax.Array, rays_d: jax.Array, t_vals: jax.Array
+) -> jax.Array:
+    """x = o + t * d for [R, S] sample positions -> [R, S, 3]."""
+    return rays_o[:, None, :] + rays_d[:, None, :] * t_vals[..., None]

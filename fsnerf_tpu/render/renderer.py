@@ -1,0 +1,235 @@
+"""Ray/frame/path/video rendering.
+
+Reference counterparts (src/render/rendering.py):
+  * render_rays (rendering.py:25-107) — nerfacc estimator.sampling + volrend
+    with sigma_fn/rgb_sigma_fn callbacks. Rebuilt as explicit functional
+    stages over dense [R, S] tensors: sample -> mask -> single full MLP eval
+    -> fused volume integration. (The reference evaluates the MLP twice — a
+    density pass for pruning and a full pass for shading; the dense design
+    needs only the full pass.)
+  * render_frame (rendering.py:110-177) — full-image rendering with ray
+    chunking. Chunks here are TPU-sized (default 16k rays) and each chunk is
+    one jit invocation with static shapes; the final partial chunk is padded.
+  * render_path / render_video (rendering.py:180-266) — pose-loop rendering
+    and depth colormapping for video export.
+
+The model is passed as `model_fn(x[..., 3], dirs[..., 3] | None) -> [..., 4]`
+([rgb, sigma]; or [..., 1] sigma in density-only mode), with params and any
+frequency masks already bound — replacing the reference's closures over a
+stateful torch module.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fsnerf_tpu.data.rays import get_rays, to_ndc
+from fsnerf_tpu.ops import occgrid as og
+from fsnerf_tpu.ops.sampling import (
+    hierarchical_samples,
+    sample_points,
+    stratified_samples,
+    uniform_samples,
+)
+from fsnerf_tpu.ops.volrend import volume_render
+
+
+def to8b(x: np.ndarray) -> np.ndarray:
+    """Float [0,1] -> uint8 (reference rendering.py:22)."""
+    return (255 * np.clip(x, 0, 1)).astype(np.uint8)
+
+
+def render_rays_occgrid(
+    model_fn: Callable,
+    rays_o: jax.Array,
+    rays_d: jax.Array,
+    grid: og.OccGrid,
+    n_samples: int,
+    render_step_size: float = 5e-3,
+    key: Optional[jax.Array] = None,
+    white_bkgd: bool = False,
+) -> dict:
+    """Occupancy-grid-masked dense rendering (reference render_rays semantics).
+
+    Args:
+      model_fn: bound model, (x, dirs) -> [..., 4].
+      rays_o/rays_d: [R, 3]; grid: OccGrid; key: stratified jitter (train).
+
+    Returns:
+      dict(rgb, opacity, depth, weights, trans_final, sigmas, t_vals, mask).
+    """
+    t_mid, deltas, valid = uniform_samples(
+        rays_o, rays_d, og.outer_aabb(grid), n_samples, key=key,
+        step_size=render_step_size)
+    x = sample_points(rays_o, rays_d, t_mid)                 # [R, S, 3]
+    mask = valid & og.query(grid, x)
+    dirs = jnp.broadcast_to(rays_d[:, None, :], x.shape)
+    out4 = model_fn(x, dirs)                                 # [R, S, 4]
+    rgbs, sigmas = out4[..., :3], out4[..., 3]
+    bkgd = 1.0 if white_bkgd else 0.0
+    out = volume_render(sigmas, rgbs, t_mid, deltas, mask, bkgd)
+    out.update(sigmas=sigmas, t_vals=t_mid, mask=mask)
+    return out
+
+
+def render_rays_hierarchical(
+    model_fn: Callable,
+    rays_o: jax.Array,
+    rays_d: jax.Array,
+    near: float,
+    far: float,
+    n_coarse: int,
+    n_fine: int,
+    key: Optional[jax.Array] = None,
+    white_bkgd: bool = False,
+    coarse_model_fn: Optional[Callable] = None,
+) -> Tuple[dict, dict]:
+    """Classic-NeRF coarse/fine rendering with inverse-CDF resampling.
+
+    BASELINE.json config 2. `coarse_model_fn` defaults to `model_fn` (shared
+    network for both passes — the reference project has a single MLP).
+
+    Returns:
+      (coarse_out, fine_out) dicts as in render_rays_occgrid.
+    """
+    coarse_fn = coarse_model_fn or model_fn
+    k1 = k2 = None
+    if key is not None:
+        k1, k2 = jax.random.split(key)
+
+    t_c, d_c = stratified_samples(rays_o, rays_d, near, far, n_coarse, k1)
+    x_c = sample_points(rays_o, rays_d, t_c)
+    dirs_c = jnp.broadcast_to(rays_d[:, None, :], x_c.shape)
+    out4_c = coarse_fn(x_c, dirs_c)
+    bkgd = 1.0 if white_bkgd else 0.0
+    coarse = volume_render(out4_c[..., 3], out4_c[..., :3], t_c, d_c,
+                           None, bkgd)
+    coarse.update(sigmas=out4_c[..., 3], t_vals=t_c, mask=None)
+
+    w = jax.lax.stop_gradient(coarse["weights"])
+    t_f, d_f = hierarchical_samples(k2, t_c, w, n_fine, far)
+    x_f = sample_points(rays_o, rays_d, t_f)
+    dirs_f = jnp.broadcast_to(rays_d[:, None, :], x_f.shape)
+    out4_f = model_fn(x_f, dirs_f)
+    fine = volume_render(out4_f[..., 3], out4_f[..., :3], t_f, d_f, None, bkgd)
+    fine.update(sigmas=out4_f[..., 3], t_vals=t_f, mask=None)
+    return coarse, fine
+
+
+def _render_rays_dispatch(model_fn, rays_o, rays_d, key, white_bkgd, *,
+                          strategy, grid, n_samples, n_fine, near, far,
+                          render_step_size):
+    if strategy == "occgrid":
+        return render_rays_occgrid(
+            model_fn, rays_o, rays_d, grid, n_samples,
+            render_step_size=render_step_size, key=key, white_bkgd=white_bkgd)
+    _, fine = render_rays_hierarchical(
+        model_fn, rays_o, rays_d, near, far, n_samples, n_fine,
+        key=key, white_bkgd=white_bkgd)
+    return fine
+
+
+def render_frame(
+    model_fn: Callable,
+    pose: jax.Array,
+    hwf: Tuple[int, int, float],
+    near: float,
+    far: float,
+    *,
+    strategy: str = "occgrid",
+    grid: Optional[og.OccGrid] = None,
+    n_samples: int = 512,
+    n_fine: int = 128,
+    render_step_size: float = 5e-3,
+    ndc: bool = False,
+    white_bkgd: bool = False,
+    chunksize: int = 16384,
+) -> Tuple[jax.Array, jax.Array]:
+    """Render a full H x W frame from one pose (reference rendering.py:110-177).
+
+    Fixes the reference bug where white_bkgd was passed positionally into
+    render_rays' `train` slot and silently dropped (rendering.py:160-168) —
+    here the background color is honored at eval time.
+
+    Returns:
+      img: [H, W, 3]; depth: [H, W] clamped to [near, far].
+    """
+    H, W, _ = hwf
+    rays_o, rays_d = get_rays(pose, hwf)
+    rays_o = rays_o.reshape(-1, 3)
+    rays_d = rays_d.reshape(-1, 3)
+    if ndc:
+        rays_o, rays_d = to_ndc(rays_o, rays_d, hwf, 1.0)
+
+    n_rays = H * W
+    n_chunks = -(-n_rays // chunksize)
+    pad = n_chunks * chunksize - n_rays
+    if pad:
+        rays_o = jnp.pad(rays_o, ((0, pad), (0, 0)))
+        # pad direction z with -1 so padded rays are valid (masked out later)
+        rays_d = jnp.concatenate(
+            [rays_d, jnp.tile(jnp.array([[0.0, 0.0, -1.0]]), (pad, 1))], axis=0)
+
+    render = functools.partial(
+        _render_rays_dispatch, model_fn, key=None, white_bkgd=white_bkgd,
+        strategy=strategy, grid=grid, n_samples=n_samples, n_fine=n_fine,
+        near=near, far=far, render_step_size=render_step_size)
+
+    imgs, depths = [], []
+    for c in range(n_chunks):
+        sl = slice(c * chunksize, (c + 1) * chunksize)
+        out = render(rays_o=rays_o[sl], rays_d=rays_d[sl])
+        imgs.append(out["rgb"])
+        depths.append(out["depth"])
+    img = jnp.concatenate(imgs, axis=0)[:n_rays]
+    depth = jnp.clip(jnp.concatenate(depths, axis=0)[:n_rays], near, far)
+    return img.reshape(H, W, 3), depth.reshape(H, W)
+
+
+def render_path(
+    model_fn: Callable,
+    render_poses: jax.Array,
+    hwf: Tuple[int, int, float],
+    near: float,
+    far: float,
+    **frame_kwargs,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Render a sequence of poses (reference rendering.py:180-248).
+
+    Returns:
+      frames: [F, H, W, 3] float numpy; d_frames: [F, H, W].
+    """
+    frames, d_frames = [], []
+    for pose in render_poses:
+        rgb, depth = render_frame(model_fn, pose, hwf, near, far,
+                                  **frame_kwargs)
+        frames.append(np.asarray(rgb))
+        d_frames.append(np.asarray(depth))
+    return np.stack(frames, 0), np.stack(d_frames, 0)
+
+
+def render_video(
+    frames: np.ndarray, d_frames: np.ndarray, cmap: str = "plasma"
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Depth colormapping + uint8 TCHW conversion (rendering.py:251-266).
+
+    Depth is normalized over the whole clip, mapped through `cmap`, and both
+    streams are returned as [T, C, H, W] uint8 for video export.
+    """
+    import matplotlib
+    import matplotlib.cm as cm
+
+    norm = matplotlib.colors.Normalize(vmin=float(np.amin(d_frames)),
+                                       vmax=float(np.amax(d_frames)))
+    mapper = cm.ScalarMappable(norm=norm, cmap=cmap)
+    d_rgba = mapper.to_rgba(d_frames.flatten())
+    d_rgba = np.reshape(d_rgba, list(d_frames.shape[:3]) + [-1])
+    return (
+        np.transpose(to8b(frames), (0, 3, 1, 2)),
+        np.transpose(to8b(d_rgba[..., :3]), (0, 3, 1, 2)),
+    )

@@ -1,0 +1,188 @@
+"""The jitted training step (reference hot loop: run-nerf.py:232-299).
+
+One fully-fused XLA program per step:
+  batch draw (on-device) -> sample lattice -> occupancy mask -> MLP eval
+  -> fused volume integration -> MSE + regularizers -> grads -> Adam update
+  -> (every update_interval steps) occupancy-grid EMA refresh via lax.cond.
+
+The reference performs these as separate CUDA launches with host round-trips
+(DataLoader batch at :236-240, nerfacc sampling/rendering at :243-252, a
+Python per-ray loop for the occlusion regularizer, a named_parameters loop
+for weight decay, and update_every_n_steps at :287-295). Here the entire step
+is one traced function: `make_train_step` returns a (state) -> (state,
+metrics) closure you can jit, donate, scan over, or shard over a mesh
+(parallel/train_parallel.py wraps it with sharding constraints).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from fsnerf_tpu.core.encoding import freq_mask
+from fsnerf_tpu.core.losses import mse, occlusion_reg, psnr_from_mse, weight_reg
+from fsnerf_tpu.core.schedules import make_schedule
+from fsnerf_tpu.ops import occgrid as og
+from fsnerf_tpu.render.renderer import (
+    render_rays_hierarchical,
+    render_rays_occgrid,
+)
+from fsnerf_tpu.train.state import TrainState
+
+
+def make_optimizer(cfg) -> optax.GradientTransformation:
+    """Adam with the reference LR schedule (run-nerf.py:216-223).
+
+    torch.optim.Adam defaults: betas (0.9, 0.999), eps 1e-8 applied outside
+    the sqrt — optax.adam with eps_root=0 matches exactly.
+    """
+    return optax.adam(learning_rate=make_schedule(cfg), b1=0.9, b2=0.999,
+                      eps=1e-8, eps_root=0.0)
+
+
+def make_masks(cfg, step):
+    """FreeNeRF annealed frequency masks for the current step (None = off)."""
+    T = cfg.encoder.freq_reg_end
+    if T <= 0:
+        return None, None
+    return (freq_mask(cfg.encoder.n_freqs, step, T),
+            freq_mask(cfg.encoder.n_freqs_views, step, T))
+
+
+def make_train_step(
+    model,
+    cfg,
+    optimizer: optax.GradientTransformation,
+    pool,
+    scene,
+) -> Callable[[TrainState], Tuple[TrainState, dict]]:
+    """Build the per-step closure.
+
+    Args:
+      model: flax module (NeRF/SiNeRF).
+      cfg: Config.
+      pool: RayPool (device-resident training rays).
+      scene: dataset metadata object exposing .near/.far (hierarchical mode).
+    """
+    s_cfg, t_cfg = cfg.sampling, cfg.train
+    white_bkgd = cfg.data.white_bkgd
+    use_occl = t_cfg.beta is not None
+    # reference quirk preserved: beta gates the occlusion term but does not
+    # scale it (run-nerf.py:261-264); `occl_scale` applies the intended
+    # scaling when beta is set AND scaling is explicitly desired later.
+    use_wreg = t_cfg.ao is not None
+    Ts = int(t_cfg.reg_ratio * t_cfg.Td)            # run-nerf.py:270
+
+    def loss_fn(params, batch, grid, key, step):
+        rays_o, rays_d, rgb_gt = batch
+        pos_mask, dir_mask = make_masks(cfg, step)
+
+        def model_fn(x, d=None):
+            return model.apply(params, x, d, pos_mask=pos_mask,
+                               dir_mask=dir_mask)
+
+        if s_cfg.strategy == "occgrid":
+            out = render_rays_occgrid(
+                model_fn, rays_o, rays_d, grid, s_cfg.n_samples,
+                render_step_size=s_cfg.render_step_size,
+                key=key if s_cfg.perturb else None, white_bkgd=white_bkgd)
+            loss = mse(out["rgb"], rgb_gt)
+            main_mse = loss
+            outs = (out,)
+        else:
+            coarse, fine = render_rays_hierarchical(
+                model_fn, rays_o, rays_d, scene.near, scene.far,
+                s_cfg.n_samples, s_cfg.n_fine,
+                key=key if s_cfg.perturb else None, white_bkgd=white_bkgd)
+            main_mse = mse(fine["rgb"], rgb_gt)
+            loss = main_mse + mse(coarse["rgb"], rgb_gt)
+            outs = (fine,)
+
+        if use_occl:
+            out = outs[0]
+            loss = loss + occlusion_reg(
+                out["sigmas"], out["t_vals"], out["mask"],
+                t_cfg.occ_a, t_cfg.occ_b, t_cfg.occ_func)
+
+        if use_wreg:
+            wr = weight_reg(params, t_cfg.reg)
+            loss = loss + jnp.where(step < Ts, t_cfg.ao * wr, 0.0)
+
+        return loss, main_mse
+
+    def train_step(state: TrainState) -> Tuple[TrainState, dict]:
+        key, k_batch, k_render, k_grid = jax.random.split(state.key, 4)
+        batch = pool.sample(k_batch, t_cfg.batch_size)
+
+        (loss, main_mse), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, batch, state.grid, k_render, state.step)
+
+        updates, opt_state = optimizer.update(grads, state.opt_state,
+                                              state.params)
+        params = optax.apply_updates(state.params, updates)
+
+        # occupancy grid refresh (occgrid strategy only)
+        if s_cfg.strategy == "occgrid":
+            pos_mask, dir_mask = make_masks(cfg, state.step)
+
+            def density_fn(x):
+                return model.apply(params, x, pos_mask=pos_mask)[..., 0]
+
+            def do_update(grid):
+                return og.update(
+                    grid, density_fn, k_grid, state.step,
+                    render_step_size=s_cfg.render_step_size,
+                    occ_thre=s_cfg.occ_thre, ema_decay=s_cfg.ema_decay,
+                    warmup_steps=s_cfg.warmup_steps,
+                    update_parts=s_cfg.update_parts,
+                    update_interval=s_cfg.update_interval)
+
+            grid = jax.lax.cond(
+                state.step % s_cfg.update_interval == 0,
+                do_update, lambda g: g, state.grid)
+        else:
+            grid = state.grid
+
+        metrics = {
+            "loss": loss,
+            "psnr": psnr_from_mse(main_mse),
+            "occupancy": og.occupancy_fraction(grid),
+        }
+        new_state = TrainState(params=params, opt_state=opt_state, grid=grid,
+                               step=state.step + 1, key=key)
+        return new_state, metrics
+
+    return train_step
+
+
+def make_train_chunk(train_step: Callable, n: int) -> Callable:
+    """lax.scan over `n` steps — one dispatch for n optimizer updates.
+
+    Used by the benchmark and long headless runs to eliminate per-step host
+    dispatch overhead entirely.
+    """
+    def chunk(state: TrainState) -> Tuple[TrainState, dict]:
+        def body(s, _):
+            s2, m = train_step(s)
+            return s2, m
+        state, metrics = jax.lax.scan(body, state, None, length=n)
+        return state, jax.tree.map(lambda x: x[-1], metrics)
+    return chunk
+
+
+def init_state(model, cfg, optimizer, aabb, key) -> TrainState:
+    """Fresh TrainState (reference init_models, run-nerf.py:55-102)."""
+    from fsnerf_tpu.core.models import init_params
+
+    k_init, k_run = jax.random.split(jax.random.key(cfg.train.seed)
+                                     if key is None else key)
+    params = init_params(model, k_init)
+    opt_state = optimizer.init(params)
+    grid = og.create(aabb, cfg.sampling.grid_resolution,
+                     cfg.sampling.grid_levels)
+    return TrainState(params=params, opt_state=opt_state, grid=grid,
+                      step=jnp.zeros((), jnp.int32), key=k_run)

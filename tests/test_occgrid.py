@@ -1,0 +1,120 @@
+"""Occupancy-grid tests (nerfacc OccGridEstimator semantics,
+reference run-nerf.py:92-98, 287-295)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fsnerf_tpu.ops import occgrid as og
+
+
+AABB = jnp.array([-1.5, -1.5, -1.5, 1.5, 1.5, 1.5])
+
+
+def _sphere_density(x, radius=1.0, value=100.0):
+    """Dense inside a sphere at the origin."""
+    return jnp.where(jnp.linalg.norm(x, axis=-1) < radius, value, 0.0)
+
+
+def test_create_starts_fully_occupied():
+    grid = og.create(AABB, resolution=16, levels=1)
+    assert bool(jnp.all(grid.binaries))
+    assert grid.occs.shape == (1, 16 ** 3)
+
+
+def test_level_aabb_scaling():
+    ab1 = np.asarray(og.level_aabb(AABB, 0))
+    np.testing.assert_allclose(ab1, np.asarray(AABB))
+    ab2 = np.asarray(og.level_aabb(AABB, 1))
+    np.testing.assert_allclose(ab2, [-3, -3, -3, 3, 3, 3])
+
+
+def test_update_binarizes_sphere():
+    grid = og.create(AABB, resolution=32, levels=1)
+    grid = og.update(grid, _sphere_density, None, jnp.asarray(0),
+                     warmup_steps=256)
+    # occupancy fraction should be ~ sphere volume / box volume
+    frac = float(og.occupancy_fraction(grid))
+    expect = (4 / 3 * np.pi * 1.0 ** 3) / 27.0
+    assert abs(frac - expect) < 0.05
+
+    # query: points inside the sphere occupied, corners not
+    inside = jnp.array([[0.0, 0.0, 0.0], [0.5, 0.5, 0.0]])
+    outside = jnp.array([[1.4, 1.4, 1.4], [-1.4, 1.4, 0.0]])
+    assert np.asarray(og.query(grid, inside)).all()
+    assert not np.asarray(og.query(grid, outside)).any()
+
+
+def test_query_outside_all_levels_is_false():
+    grid = og.create(AABB, resolution=8, levels=1)
+    far_out = jnp.array([[10.0, 0.0, 0.0]])
+    assert not bool(og.query(grid, far_out)[0])
+
+
+def test_multilevel_query_prefers_finest():
+    grid = og.create(AABB, resolution=8, levels=2)
+    # empty the fine level, keep the coarse level occupied
+    binaries = grid.binaries.at[0].set(False)
+    grid = grid.replace(binaries=binaries)
+    # point inside level 0 -> classified by level 0 -> not occupied
+    assert not bool(og.query(grid, jnp.array([[0.0, 0.0, 0.0]]))[0])
+    # point outside level 0 but inside level 1 -> occupied
+    assert bool(og.query(grid, jnp.array([[2.0, 0.0, 0.0]]))[0])
+
+
+def test_ema_decay_clears_emptied_space():
+    """Density that disappears decays below threshold after enough updates."""
+    grid = og.create(AABB, resolution=16, levels=1)
+    grid = og.update(grid, lambda x: jnp.full(x.shape[:-1], 100.0), None,
+                     jnp.asarray(0))
+    assert float(og.occupancy_fraction(grid)) == 1.0
+    empty = lambda x: jnp.zeros(x.shape[:-1])
+    for step in range(1, 200):
+        grid = og.update(grid, empty, None, jnp.asarray(step))
+    assert float(og.occupancy_fraction(grid)) == 0.0
+
+
+def test_partial_update_round_robin_covers_grid():
+    """After warmup, each update refreshes 1/update_parts of cells; a full
+    cycle of `update_parts` updates must refresh every cell."""
+    grid = og.create(AABB, resolution=16, levels=1)
+    # warmup full update with high density
+    grid = og.update(grid, lambda x: jnp.full(x.shape[:-1], 100.0), None,
+                     jnp.asarray(0), warmup_steps=1)
+    occs0 = np.asarray(grid.occs).copy()
+    # post-warmup: empty density, 4 partial updates at steps 16,32,48,64
+    empty = lambda x: jnp.zeros(x.shape[:-1])
+    for i in range(4):
+        step = jnp.asarray(16 * (i + 1))
+        grid = og.update(grid, empty, None, step, warmup_steps=1,
+                         update_parts=4, update_interval=16)
+    occs = np.asarray(grid.occs)
+    # every cell decayed at least once: max occ dropped by >= ema factor
+    assert (occs <= occs0 * 0.95 + 1e-9).all()
+
+
+def test_update_is_jittable():
+    grid = og.create(AABB, resolution=8, levels=2)
+
+    @jax.jit
+    def step_fn(grid, step, key):
+        return og.update(grid, _sphere_density, key, step, warmup_steps=2)
+
+    g1 = step_fn(grid, jnp.asarray(0), jax.random.key(0))
+    g2 = step_fn(g1, jnp.asarray(16), jax.random.key(1))  # partial branch
+    assert g2.occs.shape == grid.occs.shape
+
+
+def test_occ_eval_uses_render_step_size():
+    """occ = sigma * render_step_size (run-nerf.py:288-289): with sigma=1 and
+    step 5e-3, occ=5e-3 < occ_thre 1e-2 -> grid empties."""
+    grid = og.create(AABB, resolution=8, levels=1)
+    grid = og.update(grid, lambda x: jnp.ones(x.shape[:-1]), None,
+                     jnp.asarray(0), render_step_size=5e-3, occ_thre=1e-2)
+    # threshold is min(1e-2, mean(occs)) = min(1e-2, 5e-3) -> occ > thre false
+    assert float(og.occupancy_fraction(grid)) == 0.0
+    # with sigma=10, occ=5e-2 > 1e-2 -> occupied
+    grid2 = og.create(AABB, resolution=8, levels=1)
+    grid2 = og.update(grid2, lambda x: 10 * jnp.ones(x.shape[:-1]), None,
+                      jnp.asarray(0), render_step_size=5e-3, occ_thre=1e-2)
+    assert float(og.occupancy_fraction(grid2)) == 1.0
