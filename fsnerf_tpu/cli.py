@@ -1,0 +1,200 @@
+"""Experiment driver CLI — the framework equivalent of src/run-nerf.py.
+
+Flow (mirrors reference main(), run-nerf.py:354-468):
+  parse config -> build splits (K-means pose-diverse) -> device-resident ray
+  pool -> init model/grid/optimizer -> train -> final PSNR/SSIM/(LPIPS) eval
+  on the val split -> checkpoint -> render the scene's camera path to video.
+
+Fixed reference behaviors (SURVEY.md appendix): --render_only actually works
+(restores the orbax checkpoint); eval honors white_bkgd (the reference
+silently dropped it, rendering.py:160-168); LPIPS is reported when weights
+are available instead of being computed then discarded (run-nerf.py:178).
+
+Run:  python -m fsnerf_tpu.cli --dataset sphere --n_imgs 8 --n_iters 500 --debug
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+logging.basicConfig(
+    format="%(levelname)s:%(asctime)s %(message)s",
+    level=logging.INFO,
+    datefmt="%Y-%m-%d %H:%M:%S",
+)
+logger = logging.getLogger("fsnerf_tpu")
+
+
+def build_everything(cfg):
+    from fsnerf_tpu.core.models import make_model
+    from fsnerf_tpu.data.pool import pool_from_images
+    from fsnerf_tpu.data.splitter import Splitter
+
+    splitter = Splitter(
+        cfg.data.dataset, cfg.data.scene,
+        n_training_views=cfg.data.n_imgs,
+        val_ratio=cfg.data.val_ratio, test_ratio=cfg.data.test_ratio,
+        data_root=cfg.data.data_root, white_bkgd=cfg.data.white_bkgd,
+        factor=cfg.data.factor, bd_factor=cfg.data.bd_factor,
+        recenter=not cfg.data.no_recenter, seed=cfg.train.seed,
+        downsample=cfg.data.downsample)
+    splitter.split()
+    train_split, val_split, test_split = splitter.get_splits()
+
+    model = make_model(cfg)
+    pool = pool_from_images(train_split.imgs, train_split.poses,
+                            train_split.hwf, ndc=train_split.ndc)
+    return splitter, (train_split, val_split, test_split), model, pool
+
+
+def evaluate_split(model, params, grid, split, cfg, chunksize=16384):
+    """Final metrics over a split (reference evaluation(),
+    run-nerf.py:108-191)."""
+    from fsnerf_tpu.eval.lpips import load_lpips
+    from fsnerf_tpu.eval.metrics import evaluate_frames
+    from fsnerf_tpu.render.renderer import render_frame
+
+    def model_fn(x, d=None):
+        return model.apply(params, x, d)
+
+    preds = []
+    for pose in split.poses:
+        img, _ = render_frame(
+            model_fn, jnp.asarray(pose), split.hwf, split.near, split.far,
+            strategy=cfg.sampling.strategy, grid=grid,
+            n_samples=cfg.sampling.n_samples, n_fine=cfg.sampling.n_fine,
+            render_step_size=cfg.sampling.render_step_size,
+            ndc=split.ndc, white_bkgd=split.white_bkgd, chunksize=chunksize)
+        preds.append(np.asarray(img))
+    preds = np.stack(preds)
+    lpips_fn = load_lpips()
+    return evaluate_frames(jnp.asarray(preds), jnp.asarray(split.imgs),
+                           lpips_fn), preds
+
+
+def save_video(frames, d_frames, out_dir, fps=30):
+    from fsnerf_tpu.render.renderer import render_video
+    rgb8, dep8 = render_video(frames, d_frames)
+    os.makedirs(out_dir, exist_ok=True)
+    try:
+        import imageio.v2 as iio
+        iio.mimwrite(os.path.join(out_dir, "rgb.mp4"),
+                     np.transpose(rgb8, (0, 2, 3, 1)), fps=fps)
+        iio.mimwrite(os.path.join(out_dir, "depth.mp4"),
+                     np.transpose(dep8, (0, 2, 3, 1)), fps=fps)
+        return ["rgb.mp4", "depth.mp4"]
+    except Exception as e:  # no ffmpeg: fall back to per-frame PNGs
+        logger.warning("mp4 export unavailable (%s); writing PNG frames", e)
+        from PIL import Image
+        for i in range(rgb8.shape[0]):
+            Image.fromarray(np.transpose(rgb8[i], (1, 2, 0))).save(
+                os.path.join(out_dir, f"rgb_{i:04d}.png"))
+            Image.fromarray(np.transpose(dep8[i], (1, 2, 0))).save(
+                os.path.join(out_dir, f"depth_{i:04d}.png"))
+        return [f"rgb_*.png x{rgb8.shape[0]}"]
+
+
+def main(argv=None):
+    from fsnerf_tpu.config import config_from_args
+    from fsnerf_tpu.render.renderer import render_path
+    from fsnerf_tpu.train.loop import MetricsLogger, train
+    from fsnerf_tpu.train.step import init_state, make_optimizer
+    from fsnerf_tpu.utils.checkpoint import Checkpointer
+
+    cfg = config_from_args(argv)
+    logger.info("devices: %s", jax.devices())
+
+    run_name = (f"{cfg.model.model}_{cfg.data.dataset}_img{cfg.data.n_imgs}"
+                f"_layer{cfg.model.n_layers}")
+    out_dir = os.path.normpath(os.path.join(
+        cfg.log.out_dir, cfg.model.model, cfg.data.dataset, cfg.data.scene,
+        f"n_imgs_{cfg.data.n_imgs}"))
+    if not cfg.log.debug:
+        os.makedirs(out_dir, exist_ok=True)
+        cfg.save_yaml(os.path.join(out_dir, "config.yaml"))
+
+    splitter, (train_split, val_split, test_split), model, pool = \
+        build_everything(cfg)
+    logger.info("splits: train %d | val %d | test %d views",
+                len(train_split.imgs), len(val_split.imgs),
+                len(test_split.imgs))
+
+    if not cfg.log.debug:
+        try:
+            from fsnerf_tpu.utils.camera3dplotter import Camera3DPlotter
+            plotter = Camera3DPlotter()
+            plotter.set_poses(train_split.poses, "train")
+            plotter.set_poses(val_split.poses, "val")
+            plotter.set_poses(test_split.poses, "test")
+            plotter.save_html(os.path.join(out_dir, "camera_poses.html"))
+        except Exception as e:
+            logger.warning("camera plot skipped: %s", e)
+
+    optimizer = make_optimizer(cfg)
+    state = init_state(model, cfg, optimizer, train_split.aabb,
+                       jax.random.key(cfg.train.seed))
+    ckpt = None if cfg.log.debug else Checkpointer(
+        os.path.join(out_dir, "ckpt"))
+
+    if not cfg.log.render_only:
+        if cfg.train.resume and ckpt and ckpt.latest_step() is not None:
+            state = ckpt.restore(state)
+            logger.info("resumed from step %d", int(state.step))
+        mlogger = MetricsLogger(None if cfg.log.debug else out_dir,
+                                use_wandb=cfg.log.use_wandb,
+                                run_name=run_name)
+        t0 = time.perf_counter()
+        state = train(model, cfg, pool, train_split, state=state,
+                      logger=mlogger, checkpointer=ckpt)
+        dt = time.perf_counter() - t0
+        done = cfg.train.n_iters - 0
+        logger.info("trained %d iters in %.1fs (%.0f rays/s)",
+                    done, dt, done * cfg.train.batch_size / dt)
+
+        metrics, _ = evaluate_split(model, state.params, state.grid,
+                                    val_split, cfg,
+                                    chunksize=2 * cfg.train.batch_size)
+        logger.info("final: psnr %.3f ssim %.4f lpips %s",
+                    metrics["psnr"], metrics["ssim"], metrics["lpips"])
+        if not cfg.log.debug:
+            with open(os.path.join(out_dir, "final_metrics.json"), "w") as fh:
+                json.dump(metrics, fh)
+        mlogger.close()
+    else:
+        assert ckpt is not None and ckpt.latest_step() is not None, \
+            "--render_only requires an existing checkpoint in out_dir"
+        state = ckpt.restore(state)
+        logger.info("loaded checkpoint at step %d", int(state.step))
+
+    # render the scene's camera path
+    def model_fn(x, d=None):
+        return model.apply(state.params, x, d)
+
+    path = splitter.path_poses
+    frames, d_frames = render_path(
+        model_fn, jnp.asarray(path), train_split.hwf,
+        train_split.near, train_split.far,
+        strategy=cfg.sampling.strategy, grid=state.grid,
+        n_samples=cfg.sampling.n_samples, n_fine=cfg.sampling.n_fine,
+        render_step_size=cfg.sampling.render_step_size,
+        ndc=train_split.ndc, white_bkgd=train_split.white_bkgd,
+        chunksize=2 * cfg.train.batch_size)
+    if not cfg.log.debug:
+        written = save_video(frames, d_frames,
+                             os.path.join(out_dir, "video"))
+        logger.info("wrote %s to %s/video", written, out_dir)
+    if ckpt:
+        ckpt.close()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

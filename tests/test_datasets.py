@@ -1,0 +1,206 @@
+"""Dataset pipeline tests: k-means selection, Blender/LLFF loaders, splitter.
+
+Fixtures synthesize tiny on-disk datasets in the reference formats
+(transforms_*.json + PNGs; poses_bounds.npy + images_8/)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from fsnerf_tpu.data.blender import BlenderDataset
+from fsnerf_tpu.data.kmeans import kmeans, select_representative_views
+from fsnerf_tpu.data.llff import LLFFDataset, load_llff_scene
+from fsnerf_tpu.data.poses import pose_from_spherical, spherical_path
+from fsnerf_tpu.data.splitter import Splitter
+
+
+# ---------------- k-means ----------------
+
+def test_kmeans_recovers_separated_clusters():
+    rng = np.random.default_rng(0)
+    centers = np.array([[0, 0, 0], [10, 0, 0], [0, 10, 0]], float)
+    x = np.concatenate([c + 0.1 * rng.normal(size=(20, 3)) for c in centers])
+    got_centers, labels, inertia = kmeans(x, 3, seed=1)
+    # each true center matched by some fitted center
+    d = np.linalg.norm(got_centers[:, None] - centers[None], axis=-1)
+    assert (d.min(0) < 0.5).all()
+    assert inertia < 20.0
+
+
+def test_kmeans_deterministic():
+    rng = np.random.default_rng(1)
+    x = rng.normal(size=(50, 3))
+    a = kmeans(x, 5, seed=7)
+    b = kmeans(x, 5, seed=7)
+    np.testing.assert_array_equal(a[1], b[1])
+
+
+def test_select_representative_views_coverage():
+    """Selection picks one view per well-separated spatial cluster."""
+    rng = np.random.default_rng(2)
+    groups = [np.array([5 * i, 0, 0]) + 0.1 * rng.normal(size=(10, 3))
+              for i in range(4)]
+    x = np.concatenate(groups)
+    idxs = select_representative_views(x, 4, seed=3)
+    assert len(np.unique(idxs)) == 4
+    # one pick from each group of 10
+    assert sorted(i // 10 for i in idxs) == [0, 1, 2, 3]
+
+
+def test_select_all_views_when_n_exceeds():
+    x = np.random.default_rng(3).normal(size=(5, 3))
+    np.testing.assert_array_equal(select_representative_views(x, 8),
+                                  np.arange(5))
+
+
+# ---------------- Blender ----------------
+
+@pytest.fixture(scope="module")
+def blender_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("datasets")
+    scene_dir = root / "synthetic" / "minilego"
+    os.makedirs(scene_dir / "train")
+    H = W = 8
+    frames = []
+    rng = np.random.default_rng(0)
+    for i in range(10):
+        pose = pose_from_spherical(4.0, 30.0 + 4 * i, 36.0 * i)
+        name = f"train/r_{i}"
+        img = (rng.uniform(0, 255, (H, W, 4))).astype(np.uint8)
+        img[..., 3] = 255 * (rng.uniform(size=(H, W)) > 0.5)
+        Image.fromarray(img, "RGBA").save(scene_dir / f"{name}.png")
+        frames.append({"file_path": name,
+                       "transform_matrix": pose.tolist()})
+    meta = {"camera_angle_x": 0.6911112, "frames": frames}
+    with open(scene_dir / "transforms_train.json", "w") as fh:
+        json.dump(meta, fh)
+    return str(root)
+
+
+def test_blender_loads_and_composites(blender_root):
+    ds = BlenderDataset("minilego", "train", n_imgs=None, white_bkgd=True,
+                        data_root=blender_root)
+    assert ds.imgs.shape == (10, 8, 8, 3)
+    assert ds.poses.shape == (10, 4, 4)
+    H, W, f = ds.hwf
+    np.testing.assert_allclose(f, 0.5 * 8 / np.tan(0.5 * 0.6911112),
+                               rtol=1e-6)
+    # alpha=0 pixels must be exactly white after compositing
+    assert ds.imgs.max() <= 1.0 and ds.imgs.min() >= 0.0
+    assert ds.near == 2.0 and ds.far == 6.0 and ds.ndc is False
+    np.testing.assert_array_equal(ds.aabb,
+                                  [-1.5, -1.5, -1.5, 1.5, 1.5, 1.5])
+    assert ds.path_poses.shape == (90, 4, 4)
+
+
+def test_blender_fewshot_selection_deterministic(blender_root):
+    a = BlenderDataset("minilego", "train", n_imgs=4, data_root=blender_root)
+    b = BlenderDataset("minilego", "train", n_imgs=4, data_root=blender_root)
+    assert a.imgs.shape[0] == 4
+    np.testing.assert_array_equal(a.poses, b.poses)
+
+
+def test_blender_white_vs_black_backgrounds(blender_root):
+    w = BlenderDataset("minilego", "train", white_bkgd=True,
+                       data_root=blender_root)
+    k = BlenderDataset("minilego", "train", white_bkgd=False,
+                       data_root=blender_root)
+    assert not np.allclose(w.imgs, k.imgs)
+
+
+# ---------------- LLFF ----------------
+
+@pytest.fixture(scope="module")
+def llff_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("datasets")
+    scene_dir = root / "llff" / "miniroom"
+    os.makedirs(scene_dir / "images_8")
+    H, W, focal = 8, 12, 400.0
+    n = 12
+    rng = np.random.default_rng(1)
+    rows = []
+    for i in range(n):
+        img = rng.uniform(0, 255, (H, W, 3)).astype(np.uint8)
+        Image.fromarray(img).save(scene_dir / "images_8" / f"im_{i:03d}.png")
+        # forward-facing-ish cameras: identity rotation + small offsets,
+        # LLFF convention [x_down, y_right] columns
+        c2w = np.zeros((3, 5), np.float32)
+        c2w[:3, 0] = [0, -1, 0]     # x_down (maps to -x after reorder)
+        c2w[:3, 1] = [1, 0, 0]      # y_right (maps to x)
+        c2w[:3, 2] = [0, 0, 1]
+        c2w[:3, 3] = 0.1 * rng.normal(size=3)
+        c2w[:, 4] = [H * 8, W * 8, focal * 8]
+        rows.append(np.concatenate([c2w.flatten(), [2.0 + 0.1 * i, 8.0]]))
+    np.save(scene_dir / "poses_bounds.npy", np.stack(rows))
+    return str(root)
+
+
+def test_llff_scene_loads(llff_root):
+    d = load_llff_scene(os.path.join(llff_root, "llff", "miniroom"))
+    assert d["imgs"].shape == (12, 8, 12, 3)
+    assert d["poses"].shape == (12, 3, 4)
+    H, W, f = d["hwf"]
+    assert (H, W) == (8, 12)
+    np.testing.assert_allclose(f, 400.0 / 8 * 8, rtol=1e-5)  # focal/8 of 3200
+    # bounds rescaled: min*bd_factor -> 1/0.75
+    np.testing.assert_allclose(d["bounds"].min(), 1.0 / 0.75, rtol=1e-5)
+    assert d["path_poses"].shape[0] == 120
+
+
+def test_llff_dataset_ndc_bounds(llff_root):
+    d = load_llff_scene(os.path.join(llff_root, "llff", "miniroom"))
+    ds = LLFFDataset(d["imgs"], d["poses"], d["hwf"],
+                     float(d["bounds"].min()), float(d["bounds"].max()),
+                     ndc=True)
+    assert ds.near == 0.0 and ds.far == 1.0
+    assert ds.aabb.shape == (6,)
+    assert (ds.aabb[3:] >= ds.aabb[:3]).all()
+
+    ds2 = LLFFDataset(d["imgs"], d["poses"], d["hwf"],
+                      float(d["bounds"].min()), float(d["bounds"].max()),
+                      ndc=False)
+    np.testing.assert_allclose(ds2.near, d["bounds"].min() * 0.9, rtol=1e-5)
+
+
+# ---------------- Splitter ----------------
+
+def test_splitter_llff(llff_root):
+    sp = Splitter("llff", "miniroom", n_training_views=3,
+                  data_root=llff_root)
+    sp.split()
+    train, val, test = sp.get_splits()
+    assert train.imgs.shape[0] == 3
+    assert val.imgs.shape[0] == 1 and test.imgs.shape[0] == 1
+    # disjoint
+    all_ids = np.concatenate([sp.train_ids, sp.val_ids, sp.test_ids])
+    assert len(np.unique(all_ids)) == len(all_ids)
+    assert train.ndc and train.near == 0.0
+
+
+def test_splitter_synthetic(blender_root):
+    sp = Splitter("synthetic", "minilego", n_training_views=4,
+                  data_root=blender_root, white_bkgd=True)
+    sp.split()
+    train, val, test = sp.get_splits()
+    assert train.imgs.shape[0] == 4
+    assert train.near == 2.0 and train.far == 6.0 and not train.ndc
+
+
+def test_splitter_unknown_dataset():
+    with pytest.raises(ValueError, match="not supported"):
+        Splitter("voxels", "x")
+
+
+def test_spherical_path_geometry():
+    path = spherical_path(radius=4.0311289, theta_deg=50.0, frames=90)
+    assert path.shape == (90, 4, 4)
+    # all cameras on the sphere of that radius
+    r = np.linalg.norm(path[:, :3, 3], axis=1)
+    np.testing.assert_allclose(r, 4.0311289, rtol=1e-5)
+    # cameras look at the origin: -z axis points inward
+    fwd = -path[:, :3, 2]
+    cos = np.sum(fwd * (-path[:, :3, 3] / r[:, None]), axis=1)
+    np.testing.assert_allclose(cos, 1.0, atol=1e-5)
