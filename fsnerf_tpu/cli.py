@@ -72,7 +72,8 @@ def evaluate_split(model, params, grid, split, cfg, chunksize=16384):
             strategy=cfg.sampling.strategy, grid=grid,
             n_samples=cfg.sampling.n_samples, n_fine=cfg.sampling.n_fine,
             render_step_size=cfg.sampling.render_step_size,
-            ndc=split.ndc, white_bkgd=split.white_bkgd, chunksize=chunksize)
+            ndc=split.ndc, white_bkgd=split.white_bkgd, chunksize=chunksize,
+            n_compact=cfg.sampling.n_compact)
         preds.append(np.asarray(img))
     preds = np.stack(preds)
     lpips_fn = load_lpips()
@@ -186,7 +187,8 @@ def main(argv=None):
         n_samples=cfg.sampling.n_samples, n_fine=cfg.sampling.n_fine,
         render_step_size=cfg.sampling.render_step_size,
         ndc=train_split.ndc, white_bkgd=train_split.white_bkgd,
-        chunksize=2 * cfg.train.batch_size)
+        chunksize=2 * cfg.train.batch_size,
+        n_compact=cfg.sampling.n_compact)
     if not cfg.log.debug:
         written = save_video(frames, d_frames,
                              os.path.join(out_dir, "video"))

@@ -81,6 +81,13 @@ class SamplingConfig:
     strategy: str = "occgrid"       # occgrid | hierarchical
     n_samples: int = 512            # samples/ray (occgrid) or coarse count
     n_fine: int = 128               # fine samples (hierarchical only)
+    # occgrid only: compact each ray's valid samples to this many before the
+    # MLP runs (0 = evaluate the full dense lattice). The dense analogue of
+    # nerfacc pruning; the main MLP-FLOP lever once the grid converges.
+    n_compact: int = 192
+    # transmittance early termination using the grid's EMA density values
+    # (nerfacc early_stop_eps semantics); 0 disables.
+    early_stop_eps: float = 1e-4
     render_step_size: float = 5e-3  # reference fixed march step
     grid_resolution: int = 128
     grid_levels: int = 1            # 1 for synthetic, 4 for llff (run-nerf.py:92-93)

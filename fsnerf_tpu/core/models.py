@@ -61,9 +61,13 @@ def siren_init(fan_in: int, is_first: bool, c: float = 6.0):
 class TorchDense(nn.Module):
     """Dense layer with torch default init and a compute-dtype cast.
 
-    Params are stored float32; inputs/kernel are cast to `compute_dtype` for
-    the matmul (MXU-friendly bfloat16) with float32 accumulation via
-    preferred_element_type, then bias is added in float32.
+    Params are stored float32. In bfloat16 mode the ENTIRE activation chain
+    (matmul output, bias add, nonlinearity) stays bfloat16: the MXU still
+    accumulates each product in float32 internally, but outputs — and
+    therefore the backward pass's cotangents — are bfloat16, which keeps the
+    gradient matmuls on the fast MXU path (f32 cotangents would silently run
+    every dW/dx GEMM at the ~8x slower fp32 MXU rate). In float32 mode,
+    Precision.HIGHEST prevents the TPU default bf16-input downcast.
     """
 
     features: int
@@ -78,13 +82,14 @@ class TorchDense(nn.Module):
         kernel = self.param("kernel", self.kernel_init or k_init,
                             (self.fan_in, self.features))
         bias = self.param("bias", self.bias_init or b_init, (self.features,))
+        cd = self.compute_dtype
         y = jax.lax.dot_general(
-            x.astype(self.compute_dtype), kernel.astype(self.compute_dtype),
+            x.astype(cd), kernel.astype(cd),
             dimension_numbers=(((x.ndim - 1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=_matmul_precision(self.compute_dtype),
+            preferred_element_type=cd,
+            precision=_matmul_precision(cd),
         )
-        return y + bias
+        return y + bias.astype(cd)
 
 
 def _matmul_precision(compute_dtype) -> jax.lax.Precision:
@@ -177,6 +182,8 @@ class SirenDense(nn.Module):
         k_init, b_init = siren_init(self.fan_in, self.is_first)
         kernel = self.param("kernel", k_init, (self.fan_in, self.features))
         bias = self.param("bias", b_init, (self.features,))
+        # SIREN stays float32-accurate: sin phase precision matters, so the
+        # output is promoted to f32 before the sine regardless of mode.
         y = jax.lax.dot_general(
             x.astype(self.compute_dtype), kernel.astype(self.compute_dtype),
             dimension_numbers=(((x.ndim - 1,), (0,)), ((), ())),

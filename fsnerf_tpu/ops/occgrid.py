@@ -82,6 +82,12 @@ def _cell_index(norm: jax.Array, res: int) -> jax.Array:
 def query(grid: OccGrid, x: jax.Array) -> jax.Array:
     """Occupancy lookup: True where the finest containing level says occupied.
 
+    TPU lowering note: a flat per-sample gather from the [res^3] grid is
+    latency-bound (~4.5 ms for 512k samples on v5e); gathering whole z-rows
+    ([res] cells — the embedding-lookup pattern) and selecting the cell with
+    a compare-multiply-reduce is ~3x faster. The per-sample LEVEL is resolved
+    first so any number of levels costs exactly one row gather.
+
     Args:
       x: [..., 3] world-space points.
 
@@ -89,18 +95,63 @@ def query(grid: OccGrid, x: jax.Array) -> jax.Array:
       [...] bool; False outside all levels.
     """
     res = grid.resolution
-    occupied = jnp.zeros(x.shape[:-1], bool)
-    assigned = jnp.zeros(x.shape[:-1], bool)
+    row = jnp.zeros(x.shape[:-1], jnp.int32)
+    z = jnp.zeros(x.shape[:-1], jnp.int32)
+    found = jnp.zeros(x.shape[:-1], bool)
     for l in range(grid.levels):          # static unroll (levels <= 4)
         ab = level_aabb(grid.base_aabb, l)
         lo, hi = ab[:3], ab[3:]
         norm = (x - lo) / (hi - lo)
         inb = jnp.all((norm >= 0.0) & (norm < 1.0), axis=-1)
-        idx = _cell_index(norm, res)
-        occ_l = grid.binaries[l][idx]
-        occupied = jnp.where(inb & ~assigned, occ_l, occupied)
-        assigned = assigned | inb
-    return occupied
+        ijk = jnp.clip((norm * res).astype(jnp.int32), 0, res - 1)
+        row_l = (l * res + ijk[..., 0]) * res + ijk[..., 1]
+        take = inb & ~found
+        row = jnp.where(take, row_l, row)
+        z = jnp.where(take, ijk[..., 2], z)
+        found = found | inb
+    rows = grid.binaries.reshape(grid.levels * res * res, res)[row]
+    hit = (jax.lax.broadcasted_iota(jnp.int32, rows.shape, rows.ndim - 1)
+           == z[..., None])
+    occ = jnp.sum(rows.astype(jnp.int8) * hit.astype(jnp.int8), axis=-1) > 0
+    return occ & found
+
+
+def query_with_density(grid: OccGrid, x: jax.Array):
+    """Like query(), also returning the cell's EMA occupancy VALUE.
+
+    The value is occ_eval's EMA, i.e. approximately sigma * render_step_size
+    of the cell (run-nerf.py:288-289) — a cheap standing estimate of optical
+    depth used for transmittance-based early termination (the dense
+    counterpart of nerfacc's sigma_fn visibility pruning at sampling time,
+    reference rendering.py:66-74; nerfacc evaluates the live MLP for this,
+    we use the 16-step-EMA grid).
+
+    Returns:
+      (occupied [...] bool, occ_value [...] float32).
+    """
+    res = grid.resolution
+    row = jnp.zeros(x.shape[:-1], jnp.int32)
+    z = jnp.zeros(x.shape[:-1], jnp.int32)
+    found = jnp.zeros(x.shape[:-1], bool)
+    for l in range(grid.levels):
+        ab = level_aabb(grid.base_aabb, l)
+        lo, hi = ab[:3], ab[3:]
+        norm = (x - lo) / (hi - lo)
+        inb = jnp.all((norm >= 0.0) & (norm < 1.0), axis=-1)
+        ijk = jnp.clip((norm * res).astype(jnp.int32), 0, res - 1)
+        row_l = (l * res + ijk[..., 0]) * res + ijk[..., 1]
+        take = inb & ~found
+        row = jnp.where(take, row_l, row)
+        z = jnp.where(take, ijk[..., 2], z)
+        found = found | inb
+    n2 = grid.levels * res * res
+    brows = grid.binaries.reshape(n2, res)[row]
+    orows = grid.occs.reshape(n2, res)[row]
+    hit = (jax.lax.broadcasted_iota(jnp.int32, brows.shape, brows.ndim - 1)
+           == z[..., None])
+    occ = jnp.sum(brows.astype(jnp.int8) * hit.astype(jnp.int8), axis=-1) > 0
+    val = jnp.sum(orows * hit.astype(orows.dtype), axis=-1)
+    return occ & found, jnp.where(found, val, 0.0)
 
 
 def _cell_positions(

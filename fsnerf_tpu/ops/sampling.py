@@ -184,3 +184,48 @@ def sample_points(
 ) -> jax.Array:
     """x = o + t * d for [R, S] sample positions -> [R, S, 3]."""
     return rays_o[:, None, :] + rays_d[:, None, :] * t_vals[..., None]
+
+
+def compact_samples(
+    t_mid: jax.Array,
+    deltas: jax.Array,
+    mask: jax.Array,
+    k: int,
+    spread: bool = True,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Per-ray compaction to `k` samples, preserving the volume integral.
+
+    The dense-layout analogue of nerfacc's packed pruning: masked samples
+    contribute zero optical depth, so dropping them leaves the volume
+    integral unchanged. This is the main MLP-FLOP lever: with a converged
+    occupancy grid most of the [R, S] lattice is masked, and the MLP then
+    runs on [R, k] instead.
+
+    Rays with MORE than k valid samples (early training, before the grid has
+    pruned) are handled by `spread`: keep k samples evenly spaced among the
+    valid ones and scale their deltas by n_valid/k — a coarser quadrature of
+    the same interval, instead of truncating the far end of the ray (which
+    would hide all geometry beyond the first k steps from the loss). Once
+    pruning brings n_valid <= k the compaction is exact.
+
+    Static shapes throughout. Implementation note: ONE multi-operand stable
+    lax.sort keyed on the inverted mask carries t/delta/mask as payloads —
+    per-row `take_along_axis` gathers lower to a pathologically slow batched
+    gather on TPU (~11 ms at [1024, 512] vs ~0.05 ms for the payload sort).
+
+    Returns:
+      (t_k [R, k], deltas_k [R, k], mask_k [R, k]).
+    """
+    if spread:
+        nv = jnp.sum(mask, axis=-1, keepdims=True)            # [R, 1]
+        nv_safe = jnp.maximum(nv, 1)
+        rank = jnp.cumsum(mask, axis=-1) - 1                  # index among valid
+        keep = mask & ((rank * k) // nv_safe >
+                       ((rank - 1) * k) // nv_safe)
+        scale = jnp.maximum(nv.astype(t_mid.dtype) / k, 1.0)
+        deltas = jnp.where(keep, deltas * scale, deltas)
+        mask = keep
+    key = jnp.logical_not(mask)
+    _, t_k, d_k, m_k = jax.lax.sort(
+        (key, t_mid, deltas, mask), dimension=-1, is_stable=True, num_keys=1)
+    return t_k[:, :k], d_k[:, :k], m_k[:, :k]

@@ -68,7 +68,9 @@ def make_parallel_train_step(
                 model_fn, rays_o, rays_d, grid, s_cfg.n_samples,
                 render_step_size=s_cfg.render_step_size,
                 key=key if s_cfg.perturb else None,
-                white_bkgd=cfg.data.white_bkgd)
+                white_bkgd=cfg.data.white_bkgd,
+                n_compact=s_cfg.n_compact,
+                early_stop_eps=s_cfg.early_stop_eps)
             main_mse = mse(out["rgb"], rgb_gt)
             loss = main_mse
         else:

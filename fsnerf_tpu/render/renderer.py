@@ -31,6 +31,7 @@ import numpy as np
 from fsnerf_tpu.data.rays import get_rays, to_ndc
 from fsnerf_tpu.ops import occgrid as og
 from fsnerf_tpu.ops.sampling import (
+    compact_samples,
     hierarchical_samples,
     sample_points,
     stratified_samples,
@@ -53,12 +54,21 @@ def render_rays_occgrid(
     render_step_size: float = 5e-3,
     key: Optional[jax.Array] = None,
     white_bkgd: bool = False,
+    n_compact: int = 0,
+    early_stop_eps: float = 1e-4,
 ) -> dict:
     """Occupancy-grid-masked dense rendering (reference render_rays semantics).
 
     Args:
       model_fn: bound model, (x, dirs) -> [..., 4].
       rays_o/rays_d: [R, 3]; grid: OccGrid; key: stratified jitter (train).
+      n_compact: if > 0, compact each ray's valid samples to this many before
+        the MLP runs (ops/sampling.py::compact_samples) — the dense analogue
+        of nerfacc evaluating only unpruned samples.
+      early_stop_eps: transmittance-based early termination (nerfacc's
+        visibility pruning, rendering.py:66-74): samples whose APPROXIMATE
+        transmittance — from the occupancy grid's EMA density values — falls
+        below eps are masked before the MLP runs. 0 disables.
 
     Returns:
       dict(rgb, opacity, depth, weights, trans_final, sigmas, t_vals, mask).
@@ -67,9 +77,22 @@ def render_rays_occgrid(
         rays_o, rays_d, og.outer_aabb(grid), n_samples, key=key,
         step_size=render_step_size)
     x = sample_points(rays_o, rays_d, t_mid)                 # [R, S, 3]
-    mask = valid & og.query(grid, x)
+    if early_stop_eps > 0:
+        occupied, occ_val = og.query_with_density(grid, x)
+        # occ EMA values approximate sigma * render_step_size per cell
+        approx_od = jnp.where(valid, occ_val * (deltas / render_step_size),
+                              0.0)
+        cum = jnp.cumsum(approx_od, axis=-1)
+        visible = jnp.exp(-(cum - approx_od)) > early_stop_eps
+        mask = valid & occupied & visible
+    else:
+        mask = valid & og.query(grid, x)
+    if n_compact and n_compact < n_samples:
+        t_mid, deltas, mask = compact_samples(t_mid, deltas, mask, n_compact)
+        x = sample_points(rays_o, rays_d, t_mid)
     dirs = jnp.broadcast_to(rays_d[:, None, :], x.shape)
-    out4 = model_fn(x, dirs)                                 # [R, S, 4]
+    # volume integration runs float32 regardless of the MLP compute dtype
+    out4 = model_fn(x, dirs).astype(jnp.float32)             # [R, S, 4]
     rgbs, sigmas = out4[..., :3], out4[..., 3]
     bkgd = 1.0 if white_bkgd else 0.0
     out = volume_render(sigmas, rgbs, t_mid, deltas, mask, bkgd)
@@ -105,7 +128,7 @@ def render_rays_hierarchical(
     t_c, d_c = stratified_samples(rays_o, rays_d, near, far, n_coarse, k1)
     x_c = sample_points(rays_o, rays_d, t_c)
     dirs_c = jnp.broadcast_to(rays_d[:, None, :], x_c.shape)
-    out4_c = coarse_fn(x_c, dirs_c)
+    out4_c = coarse_fn(x_c, dirs_c).astype(jnp.float32)
     bkgd = 1.0 if white_bkgd else 0.0
     coarse = volume_render(out4_c[..., 3], out4_c[..., :3], t_c, d_c,
                            None, bkgd)
@@ -115,7 +138,7 @@ def render_rays_hierarchical(
     t_f, d_f = hierarchical_samples(k2, t_c, w, n_fine, far)
     x_f = sample_points(rays_o, rays_d, t_f)
     dirs_f = jnp.broadcast_to(rays_d[:, None, :], x_f.shape)
-    out4_f = model_fn(x_f, dirs_f)
+    out4_f = model_fn(x_f, dirs_f).astype(jnp.float32)
     fine = volume_render(out4_f[..., 3], out4_f[..., :3], t_f, d_f, None, bkgd)
     fine.update(sigmas=out4_f[..., 3], t_vals=t_f, mask=None)
     return coarse, fine
@@ -123,11 +146,12 @@ def render_rays_hierarchical(
 
 def _render_rays_dispatch(model_fn, rays_o, rays_d, key, white_bkgd, *,
                           strategy, grid, n_samples, n_fine, near, far,
-                          render_step_size):
+                          render_step_size, n_compact=0, early_stop_eps=1e-4):
     if strategy == "occgrid":
         return render_rays_occgrid(
             model_fn, rays_o, rays_d, grid, n_samples,
-            render_step_size=render_step_size, key=key, white_bkgd=white_bkgd)
+            render_step_size=render_step_size, key=key, white_bkgd=white_bkgd,
+            n_compact=n_compact, early_stop_eps=early_stop_eps)
     _, fine = render_rays_hierarchical(
         model_fn, rays_o, rays_d, near, far, n_samples, n_fine,
         key=key, white_bkgd=white_bkgd)
@@ -149,6 +173,8 @@ def render_frame(
     ndc: bool = False,
     white_bkgd: bool = False,
     chunksize: int = 16384,
+    n_compact: int = 0,
+    early_stop_eps: float = 1e-4,
 ) -> Tuple[jax.Array, jax.Array]:
     """Render a full H x W frame from one pose (reference rendering.py:110-177).
 
@@ -178,7 +204,8 @@ def render_frame(
     render = functools.partial(
         _render_rays_dispatch, model_fn, key=None, white_bkgd=white_bkgd,
         strategy=strategy, grid=grid, n_samples=n_samples, n_fine=n_fine,
-        near=near, far=far, render_step_size=render_step_size)
+        near=near, far=far, render_step_size=render_step_size,
+        n_compact=n_compact, early_stop_eps=early_stop_eps)
 
     imgs, depths = [], []
     for c in range(n_chunks):

@@ -89,7 +89,9 @@ def make_train_step(
             out = render_rays_occgrid(
                 model_fn, rays_o, rays_d, grid, s_cfg.n_samples,
                 render_step_size=s_cfg.render_step_size,
-                key=key if s_cfg.perturb else None, white_bkgd=white_bkgd)
+                key=key if s_cfg.perturb else None, white_bkgd=white_bkgd,
+                n_compact=s_cfg.n_compact,
+                early_stop_eps=s_cfg.early_stop_eps)
             loss = mse(out["rgb"], rgb_gt)
             main_mse = loss
             outs = (out,)

@@ -62,16 +62,28 @@ def test_multilevel_query_prefers_finest():
     assert bool(og.query(grid, jnp.array([[2.0, 0.0, 0.0]]))[0])
 
 
-def test_ema_decay_clears_emptied_space():
-    """Density that disappears decays below threshold after enough updates."""
+def test_ema_decay_clears_stale_region():
+    """A region whose density vanishes decays below the scene mean and is
+    pruned, while live geometry stays occupied (nerfacc binarizes at
+    min(occ_thre, mean(occs)) — clearing is RELATIVE to the live scene; a
+    grid whose density vanishes everywhere uniformly is a degenerate tie)."""
+    center_a = jnp.array([-0.8, 0.0, 0.0])
+    center_b = jnp.array([0.8, 0.0, 0.0])
+
+    def density_at(c):
+        return lambda x: jnp.where(
+            jnp.linalg.norm(x - c, axis=-1) < 0.5, 100.0, 0.0)
+
     grid = og.create(AABB, resolution=16, levels=1)
-    grid = og.update(grid, lambda x: jnp.full(x.shape[:-1], 100.0), None,
-                     jnp.asarray(0))
-    assert float(og.occupancy_fraction(grid)) == 1.0
-    empty = lambda x: jnp.zeros(x.shape[:-1])
-    for step in range(1, 200):
-        grid = og.update(grid, empty, None, jnp.asarray(step))
-    assert float(og.occupancy_fraction(grid)) == 0.0
+    grid = og.update(grid, density_at(center_a), None, jnp.asarray(0))
+    assert bool(og.query(grid, center_a[None])[0])
+    assert not bool(og.query(grid, center_b[None])[0])
+
+    # the object "moves": density now only at B
+    for step in range(1, 150):
+        grid = og.update(grid, density_at(center_b), None, jnp.asarray(step))
+    assert not bool(og.query(grid, center_a[None])[0])   # stale A pruned
+    assert bool(og.query(grid, center_b[None])[0])       # live B occupied
 
 
 def test_partial_update_round_robin_covers_grid():

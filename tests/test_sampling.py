@@ -153,3 +153,52 @@ def test_sample_points_formula():
     x = np.asarray(sample_points(o, d, t))
     np.testing.assert_allclose(x[0, 0], [1.0, 2.0, 2.5])
     np.testing.assert_allclose(x[0, 1], [1.0, 2.0, 1.5])
+
+
+def test_compact_samples_preserves_valid_prefix():
+    from fsnerf_tpu.ops.sampling import compact_samples
+    t = jnp.arange(8, dtype=jnp.float32)[None].repeat(2, 0)
+    dt = jnp.full((2, 8), 0.5)
+    mask = jnp.array([[0, 1, 0, 1, 1, 0, 0, 1],
+                      [1, 1, 1, 1, 1, 1, 1, 1]], dtype=bool)
+    tk, dtk, mk = compact_samples(t, dt, mask, 4)
+    # ray 0: exactly 4 valid samples at t = 1, 3, 4, 7 — kept exactly
+    np.testing.assert_allclose(np.asarray(tk[0]), [1, 3, 4, 7])
+    assert np.asarray(mk[0]).all()
+    np.testing.assert_allclose(np.asarray(dtk[0]), 0.5)   # no rescale
+    # ray 1: 8 valid > k=4 -> evenly spread picks, deltas scaled by 8/4
+    np.testing.assert_allclose(np.asarray(tk[1]), [0, 2, 4, 6])
+    np.testing.assert_allclose(np.asarray(dtk[1]), 1.0)
+    # total optical-depth budget conserved: sum(deltas) unchanged
+    np.testing.assert_allclose(float(dtk[1].sum()), float(dt[1].sum()))
+
+
+def test_compacted_render_matches_dense():
+    """With K >= per-ray valid count, compaction must not change the image."""
+    import jax
+    from fsnerf_tpu.ops import occgrid as og
+    from fsnerf_tpu.render.renderer import render_rays_occgrid
+
+    o, d = _rays(8)
+    grid = og.create(AABB, resolution=16, levels=1)
+    # sphere-occupancy grid so plenty of samples are masked
+    dens = lambda x: jnp.where(jnp.linalg.norm(x, axis=-1) < 1.0, 100.0, 0.0)
+    grid = og.update(grid, dens, None, jnp.asarray(0))
+
+    def model_fn(x, dirs=None):
+        sig = jnp.linalg.norm(x, axis=-1, keepdims=True)
+        rgb = 0.5 * (jnp.tanh(x) + 1.0)
+        return jnp.concatenate([rgb, sig], axis=-1)
+
+    dense = render_rays_occgrid(model_fn, o, d, grid, 64, n_compact=0,
+                                render_step_size=0.1, white_bkgd=True)
+    compact = render_rays_occgrid(model_fn, o, d, grid, 64, n_compact=48,
+                                  render_step_size=0.1, white_bkgd=True)
+    # K=48 >= any ray's valid count through a radius-1 sphere at dt=...
+    assert int(jnp.max(jnp.sum(dense["mask"], -1))) <= 48
+    np.testing.assert_allclose(np.asarray(compact["rgb"]),
+                               np.asarray(dense["rgb"]), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(compact["depth"]),
+                               np.asarray(dense["depth"]), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(compact["opacity"]),
+                               np.asarray(dense["opacity"]), atol=1e-5)
