@@ -55,6 +55,23 @@ def build_everything(cfg):
     return splitter, (train_split, val_split, test_split), model, pool
 
 
+def make_render_model_fn(model, params, cfg):
+    """Inference model_fn; optionally the fused Pallas MLP kernel."""
+    if cfg.model.fused_kernel and cfg.model.model == "nerf":
+        from fsnerf_tpu.ops.pallas.mlp import make_fused_model_fn
+        return make_fused_model_fn(
+            params, n_layers=cfg.model.n_layers,
+            skip=tuple(cfg.model.skip), n_freqs=cfg.encoder.n_freqs,
+            n_freqs_views=cfg.encoder.n_freqs_views,
+            log_space=cfg.encoder.log_space,
+            density_activation=cfg.model.density_activation)
+
+    def model_fn(x, d=None):
+        return model.apply(params, x, d)
+
+    return model_fn
+
+
 def evaluate_split(model, params, grid, split, cfg, chunksize=16384):
     """Final metrics over a split (reference evaluation(),
     run-nerf.py:108-191)."""
@@ -62,8 +79,7 @@ def evaluate_split(model, params, grid, split, cfg, chunksize=16384):
     from fsnerf_tpu.eval.metrics import evaluate_frames
     from fsnerf_tpu.render.renderer import render_frame
 
-    def model_fn(x, d=None):
-        return model.apply(params, x, d)
+    model_fn = make_render_model_fn(model, params, cfg)
 
     preds = []
     for pose in split.poses:
@@ -176,8 +192,7 @@ def main(argv=None):
         logger.info("loaded checkpoint at step %d", int(state.step))
 
     # render the scene's camera path
-    def model_fn(x, d=None):
-        return model.apply(state.params, x, d)
+    model_fn = make_render_model_fn(model, state.params, cfg)
 
     path = splitter.path_poses
     frames, d_frames = render_path(

@@ -47,6 +47,9 @@ class ModelConfig:
     # emits raw (unactivated) sigma (models.py:105,127); SiNeRF applies ReLU
     # (models.py:273-277). 'none' reproduces reference NeRF.
     density_activation: str = "none"  # none | relu | trunc_exp
+    # Use the fused Pallas MLP kernel (ops/pallas/mlp.py) for inference
+    # rendering paths (eval / path video). NeRF model only.
+    fused_kernel: bool = False
 
 
 @dataclass(frozen=True)
@@ -225,6 +228,8 @@ def config_parser() -> argparse.ArgumentParser:
                    help="Comma-separated skip-connection layer indices")
     g.add_argument("--density_activation", choices=["none", "relu", "trunc_exp"],
                    default="none")
+    g.add_argument("--fused_kernel", action="store_true",
+                   help="Fused Pallas MLP for inference rendering (nerf only)")
 
     g = p.add_argument_group("data")
     g.add_argument("--dataset", choices=["synthetic", "llff", "sphere"],
@@ -246,6 +251,8 @@ def config_parser() -> argparse.ArgumentParser:
     g.add_argument("--render_step_size", default=5e-3, type=float)
     g.add_argument("--grid_resolution", default=128, type=int)
     g.add_argument("--occ_thre", default=1e-2, type=float)
+    g.add_argument("--n_compact", default=192, type=int)
+    g.add_argument("--early_stop_eps", default=1e-4, type=float)
 
     g = p.add_argument_group("training")
     g.add_argument("--n_iters", default=20**3, type=int)
@@ -315,6 +322,7 @@ def config_from_args(argv=None) -> Config:
                 map(str, base.model.skip)))).split(",") if s != ""),
             density_activation=pick("density_activation",
                                     base.model.density_activation),
+            fused_kernel=pick("fused_kernel", base.model.fused_kernel),
         ),
         data=DataConfig(
             dataset=pick("dataset", base.data.dataset),
@@ -337,6 +345,9 @@ def config_from_args(argv=None) -> Config:
                                  base.sampling.grid_resolution),
             grid_levels=grid_levels,
             occ_thre=pick("occ_thre", base.sampling.occ_thre),
+            n_compact=pick("n_compact", base.sampling.n_compact),
+            early_stop_eps=pick("early_stop_eps",
+                                base.sampling.early_stop_eps),
         ),
         train=TrainConfig(
             n_iters=pick("n_iters", base.train.n_iters),
