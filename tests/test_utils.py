@@ -136,3 +136,30 @@ def test_lpips_architecture_runs_with_random_weights(tmp_path):
     d_diff = float(lpips_distance(img, img2, weights))
     assert abs(d_same) < 1e-6
     assert d_diff > 0
+
+
+def test_throughput_counter():
+    import time
+    from fsnerf_tpu.utils.profiling import Throughput
+    tp = Throughput(batch_size=100, warmup_steps=2)
+    for _ in range(2):
+        tp.tick()
+    time.sleep(0.05)
+    for _ in range(5):
+        tp.tick()
+    s = tp.summary()
+    assert s["steps_per_sec"] > 0
+    assert abs(s["rays_per_sec"] - 100 * s["steps_per_sec"]) < 1e-6
+
+
+def test_profiler_trace_writes(tmp_path):
+    import jax
+    import jax.numpy as jnp
+    from fsnerf_tpu.utils.profiling import trace
+    with trace(str(tmp_path / "prof")):
+        jax.jit(lambda x: x * 2)(jnp.ones((8, 8))).block_until_ready()
+    import os
+    found = []
+    for root, _, files in os.walk(tmp_path / "prof"):
+        found += files
+    assert found  # trace artifacts written
