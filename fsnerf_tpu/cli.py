@@ -77,9 +77,16 @@ def evaluate_split(model, params, grid, split, cfg, chunksize=16384):
     run-nerf.py:108-191)."""
     from fsnerf_tpu.eval.lpips import load_lpips
     from fsnerf_tpu.eval.metrics import evaluate_frames
-    from fsnerf_tpu.render.renderer import render_frame
+    from fsnerf_tpu.render.renderer import make_chunk_renderer, render_frame
 
     model_fn = make_render_model_fn(model, params, cfg)
+    chunk_renderer = make_chunk_renderer(
+        model_fn, strategy=cfg.sampling.strategy, grid=grid,
+        n_samples=cfg.sampling.n_samples, n_fine=cfg.sampling.n_fine,
+        render_step_size=cfg.sampling.render_step_size,
+        white_bkgd=split.white_bkgd, near=split.near, far=split.far,
+        n_compact=cfg.sampling.n_compact,
+        early_stop_eps=cfg.sampling.early_stop_eps)
 
     preds = []
     for pose in split.poses:
@@ -89,7 +96,8 @@ def evaluate_split(model, params, grid, split, cfg, chunksize=16384):
             n_samples=cfg.sampling.n_samples, n_fine=cfg.sampling.n_fine,
             render_step_size=cfg.sampling.render_step_size,
             ndc=split.ndc, white_bkgd=split.white_bkgd, chunksize=chunksize,
-            n_compact=cfg.sampling.n_compact)
+            n_compact=cfg.sampling.n_compact,
+            chunk_renderer=chunk_renderer)
         preds.append(np.asarray(img))
     preds = np.stack(preds)
     lpips_fn = load_lpips()

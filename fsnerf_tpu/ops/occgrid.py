@@ -35,7 +35,10 @@ import jax.numpy as jnp
 @flax.struct.dataclass
 class OccGrid:
     occs: jax.Array        # [L, res**3] float32 EMA occupancy values
-    binaries: jax.Array    # [L, res**3] bool
+    binaries: jax.Array    # [L, res**3] bool (= occs > thre; kept for
+                           # diagnostics; queries derive occupancy from
+                           # occs + thre with a single gather)
+    thre: jax.Array        # scalar binarization threshold
     base_aabb: jax.Array   # [6]
     resolution: int = flax.struct.field(pytree_node=False, default=128)
     levels: int = flax.struct.field(pytree_node=False, default=1)
@@ -49,11 +52,13 @@ def create(aabb, resolution: int = 128, levels: int = 1) -> OccGrid:
     """Fresh grid, fully occupied (nerfacc starts binaries at zero but its
     sampling only prunes via the sigma callback until the first update; an
     all-occupied start means the first steps sample everywhere, matching the
-    effective reference behavior before the grid warms up)."""
+    effective reference behavior before the grid warms up). thre starts
+    negative so occs=0 cells count as occupied until the first update."""
     n = resolution ** 3
     return OccGrid(
         occs=jnp.zeros((levels, n), jnp.float32),
         binaries=jnp.ones((levels, n), bool),
+        thre=jnp.asarray(-1.0, jnp.float32),
         base_aabb=jnp.asarray(aabb, jnp.float32),
         resolution=resolution,
         levels=levels,
@@ -145,13 +150,14 @@ def query_with_density(grid: OccGrid, x: jax.Array):
         z = jnp.where(take, ijk[..., 2], z)
         found = found | inb
     n2 = grid.levels * res * res
-    brows = grid.binaries.reshape(n2, res)[row]
+    # ONE gather: occupancy is derived as occ_value > thre (the update
+    # stores the binarization threshold), halving query gather traffic.
     orows = grid.occs.reshape(n2, res)[row]
-    hit = (jax.lax.broadcasted_iota(jnp.int32, brows.shape, brows.ndim - 1)
+    hit = (jax.lax.broadcasted_iota(jnp.int32, orows.shape, orows.ndim - 1)
            == z[..., None])
-    occ = jnp.sum(brows.astype(jnp.int8) * hit.astype(jnp.int8), axis=-1) > 0
     val = jnp.sum(orows * hit.astype(orows.dtype), axis=-1)
-    return occ & found, jnp.where(found, val, 0.0)
+    occ = (val > grid.thre) & found
+    return occ, jnp.where(found, val, 0.0)
 
 
 def _cell_positions(
@@ -218,7 +224,7 @@ def update(
     occs = jax.lax.cond(step < warmup_steps, full_update, partial_update,
                         grid.occs)
     thre = jnp.minimum(occ_thre, jnp.mean(occs))
-    return grid.replace(occs=occs, binaries=occs > thre)
+    return grid.replace(occs=occs, binaries=occs > thre, thre=thre)
 
 
 def occupancy_fraction(grid: OccGrid) -> jax.Array:

@@ -50,6 +50,10 @@ def prep_params(
       heads: sigma [256, 128pad], connection [256, 256],
         branch (W_feat [256, 128], W_dir [encd_pad, 128]), rgb [128, 128pad].
     """
+    if skip and max(skip) >= n_layers - 1:
+        raise ValueError(
+            "fused kernel requires the skip concat to feed a TRUNK layer "
+            f"(skip {skip} with n_layers {n_layers} would feed the heads)")
     p = params["params"]
     d_enc = p["layers_0"]["kernel"].shape[0]          # e.g. 63
     d_enc_pad = _round_up(d_enc, 64)

@@ -158,6 +158,38 @@ def _render_rays_dispatch(model_fn, rays_o, rays_d, key, white_bkgd, *,
     return fine
 
 
+def make_chunk_renderer(
+    model_fn: Callable,
+    *,
+    strategy: str = "occgrid",
+    grid: Optional[og.OccGrid] = None,
+    n_samples: int = 512,
+    n_fine: int = 128,
+    render_step_size: float = 5e-3,
+    white_bkgd: bool = False,
+    near: float = 2.0,
+    far: float = 6.0,
+    n_compact: int = 0,
+    early_stop_eps: float = 1e-4,
+) -> Callable:
+    """One JITTED (rays_o, rays_d) -> (rgb, depth) chunk renderer.
+
+    Build this ONCE per (model, grid, config) and reuse it across chunks and
+    frames: an un-jitted chunk loop dispatches op-by-op through the runtime
+    (~30x slower end-to-end), and a fresh lambda per frame would recompile.
+    """
+    @jax.jit
+    def render_chunk(rays_o, rays_d):
+        out = _render_rays_dispatch(
+            model_fn, rays_o, rays_d, key=None, white_bkgd=white_bkgd,
+            strategy=strategy, grid=grid, n_samples=n_samples, n_fine=n_fine,
+            near=near, far=far, render_step_size=render_step_size,
+            n_compact=n_compact, early_stop_eps=early_stop_eps)
+        return out["rgb"], out["depth"]
+
+    return render_chunk
+
+
 def render_frame(
     model_fn: Callable,
     pose: jax.Array,
@@ -175,6 +207,7 @@ def render_frame(
     chunksize: int = 16384,
     n_compact: int = 0,
     early_stop_eps: float = 1e-4,
+    chunk_renderer: Optional[Callable] = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Render a full H x W frame from one pose (reference rendering.py:110-177).
 
@@ -182,10 +215,17 @@ def render_frame(
     render_rays' `train` slot and silently dropped (rendering.py:160-168) —
     here the background color is honored at eval time.
 
+    `chunk_renderer`: optional prebuilt make_chunk_renderer result (pass when
+    rendering many frames to reuse the compiled program).
+
     Returns:
       img: [H, W, 3]; depth: [H, W] clamped to [near, far].
     """
     H, W, _ = hwf
+    # The occupancy query gathers whole z-rows ([chunk*S, 128] f32 transient);
+    # cap the chunk so that intermediate stays ~2 GB of HBM.
+    if strategy == "occgrid":
+        chunksize = min(chunksize, 16384)
     rays_o, rays_d = get_rays(pose, hwf)
     rays_o = rays_o.reshape(-1, 3)
     rays_d = rays_d.reshape(-1, 3)
@@ -193,6 +233,7 @@ def render_frame(
         rays_o, rays_d = to_ndc(rays_o, rays_d, hwf, 1.0)
 
     n_rays = H * W
+    chunksize = min(chunksize, n_rays)
     n_chunks = -(-n_rays // chunksize)
     pad = n_chunks * chunksize - n_rays
     if pad:
@@ -201,18 +242,20 @@ def render_frame(
         rays_d = jnp.concatenate(
             [rays_d, jnp.tile(jnp.array([[0.0, 0.0, -1.0]]), (pad, 1))], axis=0)
 
-    render = functools.partial(
-        _render_rays_dispatch, model_fn, key=None, white_bkgd=white_bkgd,
-        strategy=strategy, grid=grid, n_samples=n_samples, n_fine=n_fine,
-        near=near, far=far, render_step_size=render_step_size,
-        n_compact=n_compact, early_stop_eps=early_stop_eps)
+    render = chunk_renderer
+    if render is None:
+        render = make_chunk_renderer(
+            model_fn, strategy=strategy, grid=grid, n_samples=n_samples,
+            n_fine=n_fine, render_step_size=render_step_size,
+            white_bkgd=white_bkgd, near=near, far=far, n_compact=n_compact,
+            early_stop_eps=early_stop_eps)
 
     imgs, depths = [], []
     for c in range(n_chunks):
         sl = slice(c * chunksize, (c + 1) * chunksize)
-        out = render(rays_o=rays_o[sl], rays_d=rays_d[sl])
-        imgs.append(out["rgb"])
-        depths.append(out["depth"])
+        rgb, depth = render(rays_o[sl], rays_d[sl])
+        imgs.append(rgb)
+        depths.append(depth)
     img = jnp.concatenate(imgs, axis=0)[:n_rays]
     depth = jnp.clip(jnp.concatenate(depths, axis=0)[:n_rays], near, far)
     return img.reshape(H, W, 3), depth.reshape(H, W)
@@ -228,12 +271,26 @@ def render_path(
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Render a sequence of poses (reference rendering.py:180-248).
 
+    Builds the jitted chunk renderer once and reuses it for every frame.
+
     Returns:
       frames: [F, H, W, 3] float numpy; d_frames: [F, H, W].
     """
+    H, W, _ = hwf
+    chunksize = frame_kwargs.get("chunksize", 16384)
+    if frame_kwargs.get("strategy", "occgrid") == "occgrid":
+        chunksize = min(chunksize, 16384)
+    chunksize = min(chunksize, H * W)
+    renderer_kwargs = {k: v for k, v in frame_kwargs.items()
+                       if k in ("strategy", "grid", "n_samples", "n_fine",
+                                "render_step_size", "white_bkgd",
+                                "n_compact", "early_stop_eps")}
+    chunk_renderer = make_chunk_renderer(model_fn, near=near, far=far,
+                                         **renderer_kwargs)
     frames, d_frames = [], []
     for pose in render_poses:
         rgb, depth = render_frame(model_fn, pose, hwf, near, far,
+                                  chunk_renderer=chunk_renderer,
                                   **frame_kwargs)
         frames.append(np.asarray(rgb))
         d_frames.append(np.asarray(depth))

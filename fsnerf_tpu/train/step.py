@@ -70,6 +70,12 @@ def make_train_step(
     """
     s_cfg, t_cfg = cfg.sampling, cfg.train
     white_bkgd = cfg.data.white_bkgd
+    # trainable fused Pallas MLP (custom VJP): nerf, raw-sigma only
+    use_fused = (cfg.model.fused_kernel and cfg.model.model == "nerf"
+                 and cfg.model.density_activation == "none")
+    if use_fused:
+        from fsnerf_tpu.ops.pallas.mlp_train import make_fused_train_model_fn
+        fused_apply = make_fused_train_model_fn(cfg.model, cfg.encoder)
     use_occl = t_cfg.beta is not None
     # reference quirk preserved: beta gates the occlusion term but does not
     # scale it (run-nerf.py:261-264); `occl_scale` applies the intended
@@ -82,6 +88,8 @@ def make_train_step(
         pos_mask, dir_mask = make_masks(cfg, step)
 
         def model_fn(x, d=None):
+            if use_fused and d is not None:
+                return fused_apply(params, x, d, pos_mask, dir_mask)
             return model.apply(params, x, d, pos_mask=pos_mask,
                                dir_mask=dir_mask)
 

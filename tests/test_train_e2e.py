@@ -96,3 +96,14 @@ def test_scanned_training_matches_loop(scene):
                                scene, chunk=20)
     _, m_loop = _run(cfg, scene, n_iters=40)
     assert int(state_scan.step) == 40
+
+
+def test_sinerf_training_converges(scene):
+    """SiNeRF (SIREN trunk) end-to-end on the occgrid path."""
+    from fsnerf_tpu.config import ModelConfig
+    cfg = _tiny_cfg("occgrid")
+    cfg = cfg.replace(model=ModelConfig(model="sinerf", n_layers=4,
+                                        d_filter=32))
+    state, metrics = _run(cfg, scene)
+    assert np.isfinite(metrics["loss"])
+    assert metrics["psnr"] > 12.0, metrics
