@@ -176,13 +176,38 @@ def main(argv=None):
         mlogger = MetricsLogger(None if cfg.log.debug else out_dir,
                                 use_wandb=cfg.log.use_wandb,
                                 run_name=run_name)
+
+        def val_fn(state, step):
+            # periodic validation (the reference's commented-out in-loop
+            # block, run-nerf.py:302-350): render the first val view
+            from fsnerf_tpu.eval.metrics import psnr, ssim
+            from fsnerf_tpu.render.renderer import render_frame
+            if len(val_split.poses) == 0:
+                return {}
+            mf = make_render_model_fn(model, state.params, cfg)
+            img, _ = render_frame(
+                mf, jnp.asarray(val_split.poses[0]), val_split.hwf,
+                val_split.near, val_split.far,
+                strategy=cfg.sampling.strategy, grid=state.grid,
+                n_samples=cfg.sampling.n_samples,
+                n_fine=cfg.sampling.n_fine,
+                render_step_size=cfg.sampling.render_step_size,
+                ndc=val_split.ndc, white_bkgd=val_split.white_bkgd,
+                chunksize=2 * cfg.train.batch_size,
+                n_compact=cfg.sampling.n_compact)
+            gt = jnp.asarray(val_split.imgs[0])
+            return {"psnr": float(psnr(img, gt)),
+                    "ssim": float(ssim(img, gt))}
+
+        start_step = int(state.step)
         t0 = time.perf_counter()
         state = train(model, cfg, pool, train_split, state=state,
-                      logger=mlogger, checkpointer=ckpt)
+                      logger=mlogger, checkpointer=ckpt,
+                      val_fn=val_fn if cfg.train.val else None)
         dt = time.perf_counter() - t0
-        done = cfg.train.n_iters - 0
+        done = cfg.train.n_iters - start_step
         logger.info("trained %d iters in %.1fs (%.0f rays/s)",
-                    done, dt, done * cfg.train.batch_size / dt)
+                    done, dt, done * cfg.train.batch_size / max(dt, 1e-9))
 
         metrics, _ = evaluate_split(model, state.params, state.grid,
                                     val_split, cfg,
