@@ -20,7 +20,6 @@ Parity targets (these gate benchmark parity, SURVEY.md section 5):
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp

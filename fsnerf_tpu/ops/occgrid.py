@@ -24,8 +24,7 @@ shards trivially (it is replicated across the data-parallel mesh).
 
 from __future__ import annotations
 
-import functools
-from typing import Callable, Optional, Tuple
+from typing import Callable, Optional
 
 import flax.struct
 import jax

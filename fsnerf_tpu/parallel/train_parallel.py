@@ -14,7 +14,6 @@ frame (replaces the reference's sequential chunk loop, rendering.py:152-171).
 
 from __future__ import annotations
 
-import functools
 from typing import Callable, Tuple
 
 import jax

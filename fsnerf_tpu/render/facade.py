@@ -10,7 +10,7 @@ sampling config once, and exposes the functional renderer underneath.
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import numpy as np

@@ -21,7 +21,6 @@ stateful torch module.
 
 from __future__ import annotations
 
-import functools
 from typing import Callable, Optional, Tuple
 
 import jax

@@ -16,7 +16,6 @@ import time
 from typing import Callable, Optional
 
 import jax
-import numpy as np
 
 from fsnerf_tpu.train.state import TrainState
 from fsnerf_tpu.train.step import (

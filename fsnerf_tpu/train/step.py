@@ -16,7 +16,6 @@ metrics) closure you can jit, donate, scan over, or shard over a mesh
 
 from __future__ import annotations
 
-import functools
 from typing import Callable, Optional, Tuple
 
 import jax
@@ -76,10 +75,9 @@ def make_train_step(
     if use_fused:
         from fsnerf_tpu.ops.pallas.mlp_train import make_fused_train_model_fn
         fused_apply = make_fused_train_model_fn(cfg.model, cfg.encoder)
-    use_occl = t_cfg.beta is not None
     # reference quirk preserved: beta gates the occlusion term but does not
-    # scale it (run-nerf.py:261-264); `occl_scale` applies the intended
-    # scaling when beta is set AND scaling is explicitly desired later.
+    # scale it (run-nerf.py:261-264)
+    use_occl = t_cfg.beta is not None
     use_wreg = t_cfg.ao is not None
     Ts = int(t_cfg.reg_ratio * t_cfg.Td)            # run-nerf.py:270
 

@@ -8,7 +8,7 @@ set_axes_margins), with save_html for offline runs and upload_plot for wandb.
 
 from __future__ import annotations
 
-from typing import Dict, Optional
+from typing import Dict
 
 import numpy as np
 

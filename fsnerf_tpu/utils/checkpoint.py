@@ -15,8 +15,6 @@ from __future__ import annotations
 import os
 from typing import Any, Optional
 
-import jax
-import numpy as np
 
 
 class Checkpointer:
