@@ -32,8 +32,9 @@ def psnr(pred: jax.Array, target: jax.Array) -> jax.Array:
     return -10.0 * jnp.log10(m)
 
 
-def _gaussian_kernel1d(sigma: float = 1.5, truncate: float = 3.5) -> np.ndarray:
-    radius = int(truncate * sigma + 0.5)
+def _gaussian_kernel1d(sigma: float = 1.5, truncate: float = 3.5,
+                       max_radius: int = 10 ** 9) -> np.ndarray:
+    radius = min(int(truncate * sigma + 0.5), max_radius)
     x = np.arange(-radius, radius + 1, dtype=np.float64)
     k = np.exp(-0.5 * (x / sigma) ** 2)
     return (k / k.sum()).astype(np.float32)
@@ -67,9 +68,15 @@ def ssim(
     img1: jax.Array,
     data_range: float = 1.0,
 ) -> jax.Array:
-    """Mean SSIM between two [H, W, C] images (skimage-gaussian semantics)."""
+    """Mean SSIM between two [H, W, C] images (skimage-gaussian semantics).
+
+    Images smaller than the standard 11x11 window use a clamped window
+    (skimage raises on win_size > image extent; here tiny test images still
+    get a well-defined value).
+    """
     sigma, truncate = 1.5, 3.5
-    k1d = _gaussian_kernel1d(sigma, truncate)
+    max_radius = max(1, (min(img0.shape[0], img0.shape[1]) - 1) // 2)
+    k1d = _gaussian_kernel1d(sigma, truncate, max_radius)
     win = len(k1d)
     NP = win * win
     cov_norm = NP / (NP - 1)                      # sample covariance
