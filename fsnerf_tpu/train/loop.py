@@ -82,12 +82,15 @@ def train(
     Returns:
       final TrainState.
     """
+    from fsnerf_tpu.core.schedules import make_schedule
+
     optimizer = make_optimizer(cfg)
     if state is None:
         state = init_state(model, cfg, optimizer, scene.aabb,
                            jax.random.key(cfg.train.seed))
     step_fn = jax.jit(make_train_step(model, cfg, optimizer, pool, scene),
                       donate_argnums=0)
+    schedule = make_schedule(cfg)
 
     start = int(state.step)
     t0 = time.perf_counter()
@@ -99,6 +102,10 @@ def train(
             dt = time.perf_counter() - t0
             rays_per_sec = (k + 1 - start) * cfg.train.batch_size / dt
             m["rays_per_sec"] = rays_per_sec
+            # reference wandb fields (run-nerf.py:297-299): lr + alpha
+            m["lr"] = float(schedule(k))
+            if cfg.train.ao is not None:
+                m["alpha"] = cfg.train.ao
             if logger:
                 logger.log(k + 1, m)
         if cfg.train.val and val_fn and (k + 1) % cfg.train.val_rate == 0:
