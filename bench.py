@@ -74,6 +74,36 @@ def main():
     rays_per_sec = bench_steps * batch_size / dt / n_chips
     vs = rays_per_sec / (TARGET_MULTIPLE * A100_TRAIN_RAYS_PER_SEC)
 
+    # secondary metric: steady-state render throughput (stderr only; the
+    # driver consumes the single stdout JSON line)
+    from fsnerf_tpu.render.renderer import make_chunk_renderer
+    import jax.numpy as jnp
+    def model_fn(x, d=None):
+        return model.apply(state.params, x, d)
+    chunk_renderer = make_chunk_renderer(
+        model_fn, grid=state.grid, n_samples=cfg.sampling.n_samples,
+        white_bkgd=True, near=scene.near, far=scene.far,
+        n_compact=cfg.sampling.n_compact)
+    from fsnerf_tpu.data.rays import get_rays
+    render_rays_sec = 0.0
+    poses = scene.path_poses[:3]
+    # compile once on the first frame's first chunk
+    o, d0 = get_rays(jnp.asarray(poses[0]), scene.hwf)
+    o = o.reshape(-1, 3)[:16384]; d0 = d0.reshape(-1, 3)[:16384]
+    jax.block_until_ready(chunk_renderer(o, d0))
+    t0 = time.perf_counter()
+    n_rendered = 0
+    for pose in poses:
+        ro, rd = get_rays(jnp.asarray(pose), scene.hwf)
+        ro = ro.reshape(-1, 3); rd = rd.reshape(-1, 3)
+        n = (ro.shape[0] // 16384) * 16384
+        for c in range(n // 16384):
+            sl = slice(c * 16384, (c + 1) * 16384)
+            out = chunk_renderer(ro[sl], rd[sl])
+        jax.block_until_ready(out)
+        n_rendered += n
+    render_rays_sec = n_rendered / (time.perf_counter() - t0)
+
     final_psnr = float(jax.device_get(metrics)["psnr"])
     print(json.dumps({
         "metric": "train_rays_per_sec_per_chip",
@@ -83,6 +113,7 @@ def main():
     }))
     print(f"# {bench_steps} steps in {dt:.2f}s | "
           f"steps/s {bench_steps / dt:.1f} | train_psnr {final_psnr:.2f} | "
+          f"render {render_rays_sec:.0f} rays/s | "
           f"baseline anchor: 5x A100@{A100_TRAIN_RAYS_PER_SEC:.0f} rays/s",
           file=sys.stderr)
 

@@ -101,6 +101,7 @@ def make_train_step(
             loss = mse(out["rgb"], rgb_gt)
             main_mse = loss
             outs = (out,)
+            aux_spr = jnp.mean(jnp.sum(out["mask"].astype(jnp.float32), -1))
         else:
             coarse, fine = render_rays_hierarchical(
                 model_fn, rays_o, rays_d, scene.near, scene.far,
@@ -109,6 +110,7 @@ def make_train_step(
             main_mse = mse(fine["rgb"], rgb_gt)
             loss = main_mse + mse(coarse["rgb"], rgb_gt)
             outs = (fine,)
+            aux_spr = jnp.asarray(float(s_cfg.n_samples + s_cfg.n_fine))
 
         if use_occl:
             out = outs[0]
@@ -120,13 +122,14 @@ def make_train_step(
             wr = weight_reg(params, t_cfg.reg)
             loss = loss + jnp.where(step < Ts, t_cfg.ao * wr, 0.0)
 
-        return loss, main_mse
+        return loss, (main_mse, aux_spr)
 
     def train_step(state: TrainState) -> Tuple[TrainState, dict]:
         key, k_batch, k_render, k_grid = jax.random.split(state.key, 4)
         batch = pool.sample(k_batch, t_cfg.batch_size)
 
-        (loss, main_mse), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+        (loss, (main_mse, spr)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(
             state.params, batch, state.grid, k_render, state.step)
 
         updates, opt_state = optimizer.update(grads, state.opt_state,
@@ -159,6 +162,8 @@ def make_train_step(
             "loss": loss,
             "psnr": psnr_from_mse(main_mse),
             "occupancy": og.occupancy_fraction(grid),
+            # MLP-evaluated (unmasked) samples per ray — the pruning signal
+            "samples_per_ray": spr,
         }
         new_state = TrainState(params=params, opt_state=opt_state, grid=grid,
                                step=state.step + 1, key=key)
