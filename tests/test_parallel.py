@@ -85,7 +85,10 @@ def test_sharded_grads_match_single_device():
     gradient against the unsharded gradient."""
     from jax.sharding import PartitionSpec as P
 
-    cfg = _cfg()
+    # float32 isolates the sharding math from bf16 reduction-order noise
+    cfg = _cfg().replace(train=TrainConfig(n_iters=10, batch_size=256,
+                                           lro=5e-3, scheduler="const",
+                                           dtype="float32"))
     scene = SphereScene(n_imgs=4, hw=16)
     model = make_model(cfg)
     pool = pool_from_images(scene.imgs, scene.poses, scene.hwf)
