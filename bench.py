@@ -29,6 +29,8 @@ TARGET_MULTIPLE = 5.0
 
 
 def main():
+    from fsnerf_tpu.utils.profiling import enable_compilation_cache
+    enable_compilation_cache()
     from fsnerf_tpu.config import (Config, DataConfig, SamplingConfig,
                                    TrainConfig)
     from fsnerf_tpu.core.models import make_model

@@ -134,6 +134,8 @@ def main(argv=None):
     from fsnerf_tpu.train.step import init_state, make_optimizer
     from fsnerf_tpu.utils.checkpoint import Checkpointer
 
+    from fsnerf_tpu.utils.profiling import enable_compilation_cache
+    enable_compilation_cache()
     cfg = config_from_args(argv)
     logger.info("devices: %s", jax.devices())
 
