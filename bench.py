@@ -88,14 +88,14 @@ def main():
         n_compact=cfg.sampling.n_compact)
     from fsnerf_tpu.data.rays import get_rays
     render_rays_sec = 0.0
-    poses = scene.path_poses[:3]
+    poses = scene.path_poses[:9]
     # compile once on the first frame's first chunk
     o, d0 = get_rays(jnp.asarray(poses[0]), scene.hwf)
     o = o.reshape(-1, 3)[:16384]; d0 = d0.reshape(-1, 3)[:16384]
     jax.block_until_ready(chunk_renderer(o, d0))
     t0 = time.perf_counter()
     n_rendered = 0
-    for pose in poses:
+    for pose in poses[1:]:
         ro, rd = get_rays(jnp.asarray(pose), scene.hwf)
         ro = ro.reshape(-1, 3); rd = rd.reshape(-1, 3)
         n = (ro.shape[0] // 16384) * 16384

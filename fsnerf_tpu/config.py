@@ -60,7 +60,10 @@ class DataConfig:
     scene: str = "lego"
     n_imgs: int = 100
     white_bkgd: bool = False
-    factor: int = 4
+    # LLFF image downsample factor. NOTE: the reference's --factor default is
+    # 4 but its loader hard-codes images_8/ + focal/8 (splitter.py:199-218);
+    # default 8 matches the actual reference ingest.
+    factor: int = 8
     bd_factor: float = 0.75
     no_recenter: bool = False
     data_root: str = "../datasets"
@@ -239,7 +242,7 @@ def config_parser() -> argparse.ArgumentParser:
     g.add_argument("--scene", default="lego", type=str)
     g.add_argument("--n_imgs", default=100, type=int)
     g.add_argument("--white_bkgd", action="store_true")
-    g.add_argument("--factor", default=4, type=int)
+    g.add_argument("--factor", default=8, type=int)
     g.add_argument("--bd_factor", default=0.75, type=float)
     g.add_argument("--no_recenter", action="store_true")
     g.add_argument("--data_root", default="../datasets", type=str)
