@@ -3,7 +3,14 @@
 Workload = the reference's default training configuration (SURVEY.md section
 6): NeRF 8x256 (skip@4, n_freqs 10/4), 1024 rays/step, occupancy grid res 128
 with 5e-3 march step, Adam + exp LR decay — trained on an analytic scene in
-the Blender-lego geometry regime (cameras at r~4, AABB [-1.5,1.5]^3).
+the Blender-lego geometry regime (cameras at r~4, AABB [-1.5,1.5]^3). The
+solid sphere is a WORST case for occupancy pruning (volumetric interior);
+real lego-like scenes prune more.
+
+Adaptive compaction (the default training path, train/loop.py) is active
+during warmup; the measured window runs at the settled compaction K — i.e.
+this reports the steady-state throughput a user's run spends >90% of its
+steps at.
 
 Baseline: the reference publishes NO numbers (BASELINE.md); its A100
 rays/sec must be measured on CUDA hardware we don't have. Anchor used here:
@@ -12,6 +19,10 @@ training at the reference config (~150 MFLOP effective fwd+bwd per ray after
 grid pruning against A100 fp32-era NeRF MFU; see BASELINE.md measurement
 plan). vs_baseline = measured / (5x50_000): the driver north star is >=5x
 A100, so vs_baseline 1.0 == target met.
+
+Also reports MFU (stderr): analytic fwd+bwd MLP FLOPs actually executed
+(batch x K samples/step + the amortized occupancy-grid refresh) against the
+chip's bf16 peak — separates "physics" from unexploited levers.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -26,6 +37,29 @@ import numpy as np
 
 A100_TRAIN_RAYS_PER_SEC = 50_000.0
 TARGET_MULTIPLE = 5.0
+V5E_BF16_PEAK_FLOPS = 197e12   # TPU v5e: 197 TFLOP/s bf16
+
+
+def mlp_flops_per_sample(cfg, full=True):
+    """Analytic fwd MAC count of the NeRF MLP per sample (x2 for FLOPs).
+
+    full=False: density-only pass (trunk + sigma head) — the occupancy-grid
+    refresh workload."""
+    e = cfg.encoder
+    m = cfg.model
+    d_enc = 3 * (1 + 2 * e.n_freqs)
+    d_dir = 3 * (1 + 2 * e.n_freqs_views)
+    D = m.d_filter
+    macs = d_enc * D                                     # layer 0
+    for i in range(1, m.n_layers):
+        d_in = D + (d_enc if (i - 1) in m.skip else 0)
+        macs += d_in * D
+    macs += D * 1                                        # sigma head
+    if full:
+        macs += D * D                                    # connection
+        macs += (D + d_dir) * (D // 2)                   # view branch
+        macs += (D // 2) * 3                             # rgb head
+    return 2 * macs
 
 
 def main():
@@ -36,13 +70,14 @@ def main():
     from fsnerf_tpu.core.models import make_model
     from fsnerf_tpu.data.pool import pool_from_images
     from fsnerf_tpu.data.synthetic import SphereScene
-    from fsnerf_tpu.train.loop import train_scanned
+    from fsnerf_tpu.train.loop import CompactionController
     from fsnerf_tpu.train.step import (init_state, make_optimizer,
                                        make_train_chunk, make_train_step)
 
     batch_size = 1024
-    warm_steps = 200
+    warm_steps = 500    # past grid warmup (256) + adaptation settling
     bench_steps = 600
+    chunk = 100
 
     cfg = Config(
         data=DataConfig(dataset="sphere", white_bkgd=True),
@@ -57,14 +92,19 @@ def main():
     optimizer = make_optimizer(cfg)
     state = init_state(model, cfg, optimizer, scene.aabb, jax.random.key(0))
 
-    step_fn = make_train_step(model, cfg, optimizer, pool, scene)
-    chunk = 100
-    chunk_fn = jax.jit(make_train_chunk(step_fn, chunk), donate_argnums=0)
+    def build_chunk(c):
+        step_fn = make_train_step(model, c, optimizer, pool, scene)
+        return jax.jit(make_train_chunk(step_fn, chunk), donate_argnums=0)
 
-    # compile + warmup (grid warms past its full-update phase)
+    # warmup with adaptive compaction live (the default train path)
+    compactor = CompactionController(cfg)
+    chunk_fn = build_chunk(cfg)
     for _ in range(warm_steps // chunk):
         state, metrics = chunk_fn(state)
+        if compactor.observe(float(jax.device_get(metrics["n_valid_mean"]))):
+            chunk_fn = build_chunk(compactor.apply(cfg))
     jax.block_until_ready(metrics)
+    k_settled = compactor.k
 
     t0 = time.perf_counter()
     for _ in range(bench_steps // chunk):
@@ -74,20 +114,29 @@ def main():
 
     n_chips = 1  # bench runs single-chip
     rays_per_sec = bench_steps * batch_size / dt / n_chips
+    steps_per_sec = bench_steps / dt
     vs = rays_per_sec / (TARGET_MULTIPLE * A100_TRAIN_RAYS_PER_SEC)
+
+    # analytic MFU: executed MLP FLOPs (fwd+bwd ~ 3x fwd on the B x K train
+    # batch + amortized density-only grid refresh) / bf16 peak
+    s = cfg.sampling
+    train_flops = batch_size * k_settled * 3 * mlp_flops_per_sample(cfg)
+    grid_samples = (s.grid_resolution ** 3) * s.grid_levels \
+        / s.update_parts / s.update_interval
+    grid_flops = grid_samples * mlp_flops_per_sample(cfg, full=False)
+    mfu = steps_per_sec * (train_flops + grid_flops) / V5E_BF16_PEAK_FLOPS
 
     # secondary metric: steady-state render throughput (stderr only; the
     # driver consumes the single stdout JSON line)
+    from fsnerf_tpu.data.rays import get_rays
     from fsnerf_tpu.render.renderer import make_chunk_renderer
-    import jax.numpy as jnp
+
     def model_fn(x, d=None):
         return model.apply(state.params, x, d)
     chunk_renderer = make_chunk_renderer(
         model_fn, grid=state.grid, n_samples=cfg.sampling.n_samples,
         white_bkgd=True, near=scene.near, far=scene.far,
-        n_compact=cfg.sampling.n_compact)
-    from fsnerf_tpu.data.rays import get_rays
-    render_rays_sec = 0.0
+        n_compact=k_settled)
     poses = scene.path_poses[:9]
     # compile once on the first frame's first chunk
     o, d0 = get_rays(jnp.asarray(poses[0]), scene.hwf)
@@ -113,10 +162,11 @@ def main():
         "unit": "rays/s",
         "vs_baseline": round(vs, 3),
     }))
-    print(f"# {bench_steps} steps in {dt:.2f}s | "
-          f"steps/s {bench_steps / dt:.1f} | train_psnr {final_psnr:.2f} | "
-          f"render {render_rays_sec:.0f} rays/s | "
-          f"baseline anchor: 5x A100@{A100_TRAIN_RAYS_PER_SEC:.0f} rays/s",
+    print(f"# {bench_steps} steps in {dt:.2f}s | steps/s {steps_per_sec:.1f}"
+          f" | K settled {k_settled} | mfu {mfu:.3f}"
+          f" | train_psnr {final_psnr:.2f}"
+          f" | render {render_rays_sec:.0f} rays/s"
+          f" | baseline anchor: 5x A100@{A100_TRAIN_RAYS_PER_SEC:.0f} rays/s",
           file=sys.stderr)
 
 

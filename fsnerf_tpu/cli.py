@@ -55,8 +55,18 @@ def build_everything(cfg):
     return splitter, (train_split, val_split, test_split), model, pool
 
 
-def make_render_model_fn(model, params, cfg):
-    """Inference model_fn; optionally the fused Pallas MLP kernel."""
+def make_render_model_fn(model, params, cfg, step=None):
+    """Inference model_fn; optionally the fused Pallas MLP kernel.
+
+    `step`: training step for FreeNeRF frequency-mask annealing — renders
+    mid-training (periodic validation) must use the same partially-annealed
+    encoding the model is being trained with, else val PSNR is skewed. After
+    annealing completes (step >= freq_reg_end) the mask is identity, so final
+    eval/path renders may pass step=None.
+    """
+    from fsnerf_tpu.train.step import make_masks
+    pos_mask, dir_mask = (None, None) if step is None else \
+        make_masks(cfg, step)
     if cfg.model.fused_kernel and cfg.model.model == "nerf":
         from fsnerf_tpu.ops.pallas.mlp import make_fused_model_fn
         return make_fused_model_fn(
@@ -64,15 +74,18 @@ def make_render_model_fn(model, params, cfg):
             skip=tuple(cfg.model.skip), n_freqs=cfg.encoder.n_freqs,
             n_freqs_views=cfg.encoder.n_freqs_views,
             log_space=cfg.encoder.log_space,
-            density_activation=cfg.model.density_activation)
+            density_activation=cfg.model.density_activation,
+            pos_mask=pos_mask, dir_mask=dir_mask)
 
     def model_fn(x, d=None):
-        return model.apply(params, x, d)
+        return model.apply(params, x, d, pos_mask=pos_mask,
+                           dir_mask=dir_mask)
 
     return model_fn
 
 
-def evaluate_split(model, params, grid, split, cfg, chunksize=16384):
+def evaluate_split(model, params, grid, split, cfg, chunksize=16384,
+                   mesh=None):
     """Final metrics over a split (reference evaluation(),
     run-nerf.py:108-191)."""
     from fsnerf_tpu.eval.lpips import load_lpips
@@ -86,7 +99,7 @@ def evaluate_split(model, params, grid, split, cfg, chunksize=16384):
         render_step_size=cfg.sampling.render_step_size,
         white_bkgd=split.white_bkgd, near=split.near, far=split.far,
         n_compact=cfg.sampling.n_compact,
-        early_stop_eps=cfg.sampling.early_stop_eps)
+        early_stop_eps=cfg.sampling.early_stop_eps, mesh=mesh)
 
     preds = []
     for pose in split.poses:
@@ -97,7 +110,7 @@ def evaluate_split(model, params, grid, split, cfg, chunksize=16384):
             render_step_size=cfg.sampling.render_step_size,
             ndc=split.ndc, white_bkgd=split.white_bkgd, chunksize=chunksize,
             n_compact=cfg.sampling.n_compact,
-            chunk_renderer=chunk_renderer)
+            chunk_renderer=chunk_renderer, mesh=mesh)
         preds.append(np.asarray(img))
     preds = np.stack(preds)
     lpips_fn = load_lpips()
@@ -154,6 +167,17 @@ def main(argv=None):
                 len(train_split.imgs), len(val_split.imgs),
                 len(test_split.imgs))
 
+    # Data-parallel mesh (SURVEY.md section 2.3): supersedes the reference's
+    # single-device selection (run-nerf.py:471-474). n_devices=0 uses every
+    # visible chip; single-chip runs stay on the collective-free path.
+    mesh = None
+    want = cfg.parallel.n_devices or jax.device_count()
+    if want > 1:
+        from fsnerf_tpu.parallel.mesh import make_mesh
+        mesh = make_mesh(cfg.parallel.n_devices)
+        logger.info("data-parallel mesh over %d devices (grad pmean on ICI)",
+                    mesh.devices.size)
+
     if not cfg.log.debug:
         try:
             from fsnerf_tpu.utils.camera3dplotter import Camera3DPlotter
@@ -179,24 +203,46 @@ def main(argv=None):
                                 use_wandb=cfg.log.use_wandb,
                                 run_name=run_name)
 
+        # Periodic validation (the reference's commented-out in-loop block,
+        # run-nerf.py:302-350): render the first val view. ONE jitted chunk
+        # program with (params, grid, step) as ARGUMENTS is reused across all
+        # validation calls — no recompilation per val_rate — and the FreeNeRF
+        # frequency masks are threaded from the live training step so
+        # mid-annealing renders match what the model is trained with.
+        from fsnerf_tpu.render.renderer import _render_rays_dispatch
+        from fsnerf_tpu.train.step import make_masks
+
+        @jax.jit
+        def _val_chunk(params, grid, step, rays_o, rays_d):
+            pos_mask, dir_mask = make_masks(cfg, step)
+
+            def model_fn(x, d=None):
+                return model.apply(params, x, d, pos_mask=pos_mask,
+                                   dir_mask=dir_mask)
+
+            out = _render_rays_dispatch(
+                model_fn, rays_o, rays_d, key=None,
+                white_bkgd=val_split.white_bkgd,
+                strategy=cfg.sampling.strategy, grid=grid,
+                n_samples=cfg.sampling.n_samples, n_fine=cfg.sampling.n_fine,
+                near=val_split.near, far=val_split.far,
+                render_step_size=cfg.sampling.render_step_size,
+                n_compact=cfg.sampling.n_compact,
+                early_stop_eps=cfg.sampling.early_stop_eps)
+            return out["rgb"], out["depth"]
+
         def val_fn(state, step):
-            # periodic validation (the reference's commented-out in-loop
-            # block, run-nerf.py:302-350): render the first val view
             from fsnerf_tpu.eval.metrics import psnr, ssim
             from fsnerf_tpu.render.renderer import render_frame
             if len(val_split.poses) == 0:
                 return {}
-            mf = make_render_model_fn(model, state.params, cfg)
             img, _ = render_frame(
-                mf, jnp.asarray(val_split.poses[0]), val_split.hwf,
+                None, jnp.asarray(val_split.poses[0]), val_split.hwf,
                 val_split.near, val_split.far,
-                strategy=cfg.sampling.strategy, grid=state.grid,
-                n_samples=cfg.sampling.n_samples,
-                n_fine=cfg.sampling.n_fine,
-                render_step_size=cfg.sampling.render_step_size,
-                ndc=val_split.ndc, white_bkgd=val_split.white_bkgd,
-                chunksize=2 * cfg.train.batch_size,
-                n_compact=cfg.sampling.n_compact)
+                strategy=cfg.sampling.strategy,
+                ndc=val_split.ndc, chunksize=2 * cfg.train.batch_size,
+                chunk_renderer=lambda o, d: _val_chunk(
+                    state.params, state.grid, jnp.asarray(step), o, d))
             gt = jnp.asarray(val_split.imgs[0])
             return {"psnr": float(psnr(img, gt)),
                     "ssim": float(ssim(img, gt))}
@@ -205,7 +251,7 @@ def main(argv=None):
         t0 = time.perf_counter()
         state = train(model, cfg, pool, train_split, state=state,
                       logger=mlogger, checkpointer=ckpt,
-                      val_fn=val_fn if cfg.train.val else None)
+                      val_fn=val_fn if cfg.train.val else None, mesh=mesh)
         dt = time.perf_counter() - t0
         done = cfg.train.n_iters - start_step
         logger.info("trained %d iters in %.1fs (%.0f rays/s)",
@@ -213,7 +259,8 @@ def main(argv=None):
 
         metrics, _ = evaluate_split(model, state.params, state.grid,
                                     val_split, cfg,
-                                    chunksize=2 * cfg.train.batch_size)
+                                    chunksize=2 * cfg.train.batch_size,
+                                    mesh=mesh)
         logger.info("final: psnr %.3f ssim %.4f lpips %s",
                     metrics["psnr"], metrics["ssim"], metrics["lpips"])
         if not cfg.log.debug:
@@ -238,7 +285,7 @@ def main(argv=None):
         render_step_size=cfg.sampling.render_step_size,
         ndc=train_split.ndc, white_bkgd=train_split.white_bkgd,
         chunksize=2 * cfg.train.batch_size,
-        n_compact=cfg.sampling.n_compact)
+        n_compact=cfg.sampling.n_compact, mesh=mesh)
     if not cfg.log.debug:
         written = save_video(frames, d_frames,
                              os.path.join(out_dir, "video"))

@@ -91,6 +91,13 @@ class SamplingConfig:
     # MLP runs (0 = evaluate the full dense lattice). The dense analogue of
     # nerfacc pruning; the main MLP-FLOP lever once the grid converges.
     n_compact: int = 192
+    # Adaptive compaction: shrink the compaction K at runtime as the
+    # occupancy grid converges and the measured per-ray valid-sample count
+    # (p97) falls — the train loop swaps in a recompiled step when the ladder
+    # value changes (train/loop.py::CompactionController). n_compact is the
+    # CEILING. The swap is quality-neutral: K always covers p97 of rays with
+    # a 1.2x margin, so compaction stays exact for (at least) 97% of rays.
+    adapt_compact: bool = True
     # transmittance early termination using the grid's EMA density values
     # (nerfacc early_stop_eps semantics); 0 disables.
     early_stop_eps: float = 1e-4
@@ -257,6 +264,8 @@ def config_parser() -> argparse.ArgumentParser:
     g.add_argument("--grid_resolution", default=128, type=int)
     g.add_argument("--occ_thre", default=1e-2, type=float)
     g.add_argument("--n_compact", default=192, type=int)
+    g.add_argument("--no_adapt_compact", action="store_true",
+                   help="Disable the adaptive compaction-K ladder")
     g.add_argument("--early_stop_eps", default=1e-4, type=float)
 
     g = p.add_argument_group("training")
@@ -269,6 +278,11 @@ def config_parser() -> argparse.ArgumentParser:
     g.add_argument("--seed", default=42, type=int)
     g.add_argument("--dtype", choices=["float32", "bfloat16"],
                    default="bfloat16")
+
+    g = p.add_argument_group("parallel")
+    g.add_argument("--n_devices", default=0, type=int,
+                   help="Data-parallel device count (0 = all visible; "
+                        "1 = force single-chip)")
 
     g = p.add_argument_group("validation")
     g.add_argument("--val", action="store_true")
@@ -299,91 +313,111 @@ def config_parser() -> argparse.ArgumentParser:
     return p
 
 
+# argparse dest -> (config section, field). Flags not listed here need
+# special handling (skip/linear_freqs) or aren't config fields (--config).
+_FLAG_MAP = {
+    "d_input": ("encoder", "d_input"),
+    "n_freqs": ("encoder", "n_freqs"),
+    "n_freqs_views": ("encoder", "n_freqs_views"),
+    "no_dirs": ("encoder", "no_dirs"),
+    "freq_reg_end": ("encoder", "freq_reg_end"),
+    "model": ("model", "model"),
+    "d_filter": ("model", "d_filter"),
+    "n_layers": ("model", "n_layers"),
+    "density_activation": ("model", "density_activation"),
+    "fused_kernel": ("model", "fused_kernel"),
+    "dataset": ("data", "dataset"),
+    "scene": ("data", "scene"),
+    "n_imgs": ("data", "n_imgs"),
+    "white_bkgd": ("data", "white_bkgd"),
+    "factor": ("data", "factor"),
+    "bd_factor": ("data", "bd_factor"),
+    "no_recenter": ("data", "no_recenter"),
+    "data_root": ("data", "data_root"),
+    "downsample": ("data", "downsample"),
+    "strategy": ("sampling", "strategy"),
+    "n_samples": ("sampling", "n_samples"),
+    "n_fine": ("sampling", "n_fine"),
+    "render_step_size": ("sampling", "render_step_size"),
+    "grid_resolution": ("sampling", "grid_resolution"),
+    "occ_thre": ("sampling", "occ_thre"),
+    "n_compact": ("sampling", "n_compact"),
+    "early_stop_eps": ("sampling", "early_stop_eps"),
+    "n_iters": ("train", "n_iters"),
+    "batch_size": ("train", "batch_size"),
+    "lro": ("train", "lro"),
+    "decay_rate": ("train", "decay_rate"),
+    "Td": ("train", "Td"),
+    "scheduler": ("train", "scheduler"),
+    "seed": ("train", "seed"),
+    "dtype": ("train", "dtype"),
+    "ao": ("train", "ao"),
+    "reg_ratio": ("train", "reg_ratio"),
+    "reg": ("train", "reg"),
+    "a": ("train", "occ_a"),
+    "b": ("train", "occ_b"),
+    "func": ("train", "occ_func"),
+    "beta": ("train", "beta"),
+    "val": ("train", "val"),
+    "val_rate": ("train", "val_rate"),
+    "ckpt_every": ("train", "ckpt_every"),
+    "resume": ("train", "resume"),
+    "n_devices": ("parallel", "n_devices"),
+    "out_dir": ("log", "out_dir"),
+    "debug": ("log", "debug"),
+    "render_only": ("log", "render_only"),
+    "use_wandb": ("log", "use_wandb"),
+}
+
+
 def config_from_args(argv=None) -> Config:
+    """CLI + optional YAML -> Config.
+
+    Overrides are MERGED into the base config section-by-section with
+    dataclasses.replace, so YAML fields without a CLI flag (val_ratio,
+    ema_decay, warmup_steps, ...) survive a --config round-trip. With a
+    config file, only flags explicitly present on the command line override
+    it; without one, all parser values apply (they equal the dataclass
+    defaults).
+    """
     parser = config_parser()
     args = parser.parse_args(argv)
-    base = Config.load_yaml(args.config) if args.config else Config()
+    raw_yaml = None
+    if args.config:
+        with open(args.config) as fh:
+            raw_yaml = yaml.safe_load(fh) or {}
+    base = Config.from_dict(raw_yaml) if raw_yaml is not None else Config()
     explicit = _explicit_flags(parser, argv)
+    use_all = args.config is None
 
-    def pick(name, current):
-        return getattr(args, name) if (args.config is None or name in explicit) \
-            else current
+    overrides: dict = {}
+    for dest, (section, fname) in _FLAG_MAP.items():
+        if use_all or dest in explicit:
+            overrides.setdefault(section, {})[fname] = getattr(args, dest)
+    if use_all or "linear_freqs" in explicit:
+        overrides.setdefault("encoder", {})["log_space"] = \
+            not args.linear_freqs
+    if use_all or "skip" in explicit:
+        overrides.setdefault("model", {})["skip"] = tuple(
+            int(s) for s in str(args.skip).split(",") if s != "")
+    if use_all or "no_adapt_compact" in explicit:
+        overrides.setdefault("sampling", {})["adapt_compact"] = \
+            not args.no_adapt_compact
 
-    grid_levels = 1 if pick("dataset", base.data.dataset) != "llff" else 4
-    return Config(
-        encoder=EncoderConfig(
-            d_input=pick("d_input", base.encoder.d_input),
-            n_freqs=pick("n_freqs", base.encoder.n_freqs),
-            n_freqs_views=pick("n_freqs_views", base.encoder.n_freqs_views),
-            log_space=not args.linear_freqs if (args.config is None or
-                      "linear_freqs" in explicit) else base.encoder.log_space,
-            no_dirs=pick("no_dirs", base.encoder.no_dirs),
-            freq_reg_end=pick("freq_reg_end", base.encoder.freq_reg_end),
-        ),
-        model=ModelConfig(
-            model=pick("model", base.model.model),
-            d_filter=pick("d_filter", base.model.d_filter),
-            n_layers=pick("n_layers", base.model.n_layers),
-            skip=tuple(int(s) for s in str(pick("skip", ",".join(
-                map(str, base.model.skip)))).split(",") if s != ""),
-            density_activation=pick("density_activation",
-                                    base.model.density_activation),
-            fused_kernel=pick("fused_kernel", base.model.fused_kernel),
-        ),
-        data=DataConfig(
-            dataset=pick("dataset", base.data.dataset),
-            scene=pick("scene", base.data.scene),
-            n_imgs=pick("n_imgs", base.data.n_imgs),
-            white_bkgd=pick("white_bkgd", base.data.white_bkgd),
-            factor=pick("factor", base.data.factor),
-            bd_factor=pick("bd_factor", base.data.bd_factor),
-            no_recenter=pick("no_recenter", base.data.no_recenter),
-            data_root=pick("data_root", base.data.data_root),
-            downsample=pick("downsample", base.data.downsample),
-        ),
-        sampling=SamplingConfig(
-            strategy=pick("strategy", base.sampling.strategy),
-            n_samples=pick("n_samples", base.sampling.n_samples),
-            n_fine=pick("n_fine", base.sampling.n_fine),
-            render_step_size=pick("render_step_size",
-                                  base.sampling.render_step_size),
-            grid_resolution=pick("grid_resolution",
-                                 base.sampling.grid_resolution),
-            grid_levels=grid_levels,
-            occ_thre=pick("occ_thre", base.sampling.occ_thre),
-            n_compact=pick("n_compact", base.sampling.n_compact),
-            early_stop_eps=pick("early_stop_eps",
-                                base.sampling.early_stop_eps),
-        ),
-        train=TrainConfig(
-            n_iters=pick("n_iters", base.train.n_iters),
-            batch_size=pick("batch_size", base.train.batch_size),
-            lro=pick("lro", base.train.lro),
-            decay_rate=pick("decay_rate", base.train.decay_rate),
-            Td=pick("Td", base.train.Td),
-            scheduler=pick("scheduler", base.train.scheduler),
-            seed=pick("seed", base.train.seed),
-            dtype=pick("dtype", base.train.dtype),
-            ao=pick("ao", base.train.ao),
-            reg_ratio=pick("reg_ratio", base.train.reg_ratio),
-            reg=pick("reg", base.train.reg),
-            occ_a=pick("a", base.train.occ_a),
-            occ_b=pick("b", base.train.occ_b),
-            occ_func=pick("func", base.train.occ_func),
-            beta=pick("beta", base.train.beta),
-            val=pick("val", base.train.val),
-            val_rate=pick("val_rate", base.train.val_rate),
-            ckpt_every=pick("ckpt_every", base.train.ckpt_every),
-            resume=pick("resume", base.train.resume),
-        ),
-        parallel=base.parallel,
-        log=LogConfig(
-            out_dir=pick("out_dir", base.log.out_dir),
-            debug=pick("debug", base.log.debug),
-            render_only=pick("render_only", base.log.render_only),
-            use_wandb=pick("use_wandb", base.log.use_wandb),
-        ),
-    )
+    # grid_levels has no CLI flag; derive from the dataset type
+    # (run-nerf.py:92-93) unless the YAML pins it explicitly.
+    yaml_has_gl = bool(raw_yaml
+                       and "grid_levels" in (raw_yaml.get("sampling") or {}))
+    if not yaml_has_gl:
+        ds = overrides.get("data", {}).get("dataset", base.data.dataset)
+        overrides.setdefault("sampling", {})["grid_levels"] = \
+            1 if ds != "llff" else 4
+
+    sections = {
+        name: dataclasses.replace(getattr(base, name), **ov)
+        for name, ov in overrides.items()
+    }
+    return base.replace(**sections)
 
 
 def _explicit_flags(parser, argv) -> set:

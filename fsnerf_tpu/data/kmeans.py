@@ -89,7 +89,18 @@ def select_representative_views(
     centers, labels, _ = kmeans(positions, n_views, seed=seed)
     dists = np.linalg.norm(positions - centers[labels], axis=1)
     idxs = np.empty((n_views,), dtype=int)
+    taken = np.zeros(len(positions), bool)
     for i in range(n_views):
-        cluster_dists = np.where(labels == i, dists, np.inf)
-        idxs[i] = np.argmin(cluster_dists)
+        cluster_dists = np.where((labels == i) & ~taken, dists, np.inf)
+        if np.isinf(cluster_dists.min()):
+            # empty cluster (argmin over all-inf would alias index 0):
+            # fall back to the not-yet-selected view farthest from every
+            # chosen center — keeps the n_views indices unique and diverse.
+            far = np.min(np.linalg.norm(
+                positions[:, None, :] - centers[None], axis=-1), axis=1)
+            idxs[i] = np.argmax(np.where(taken, -np.inf, far))
+        else:
+            idxs[i] = np.argmin(cluster_dists)
+        taken[idxs[i]] = True
+    assert len(set(idxs.tolist())) == n_views
     return idxs

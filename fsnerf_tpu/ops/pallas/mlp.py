@@ -241,10 +241,15 @@ def make_fused_model_fn(
     log_space: bool = True,
     density_activation: str = "none",
     interpret: bool = False,
+    pos_mask=None,
+    dir_mask=None,
 ):
     """Build a drop-in `model_fn(x, dirs) -> [..., 4]` backed by the fused
     kernel — interchangeable with `lambda x, d: model.apply(params, x, d)`
     for full-mode rendering (density-only calls fall back to needing dirs).
+
+    pos_mask/dir_mask: optional FreeNeRF frequency masks applied to the
+    encodings (mid-training validation renders).
     """
     from fsnerf_tpu.core.encoding import positional_encoding
 
@@ -253,9 +258,10 @@ def make_fused_model_fn(
     def model_fn(x, dirs=None):
         assert dirs is not None, "fused kernel computes rgb+sigma jointly"
         shape = x.shape[:-1]
-        encx = positional_encoding(x.reshape(-1, 3), n_freqs, log_space)
+        encx = positional_encoding(x.reshape(-1, 3), n_freqs, log_space,
+                                   pos_mask)
         encd = positional_encoding(dirs.reshape(-1, 3), n_freqs_views,
-                                   log_space)
+                                   log_space, dir_mask)
         out = fused_nerf_mlp(prepped, encx, encd,
                              density_activation=density_activation,
                              interpret=interpret)

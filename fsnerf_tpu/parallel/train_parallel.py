@@ -17,14 +17,13 @@ from __future__ import annotations
 from typing import Callable, Tuple
 
 import jax
-import jax.numpy as jnp
 import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from fsnerf_tpu.core.losses import psnr_from_mse
 from fsnerf_tpu.ops import occgrid as og
 from fsnerf_tpu.train.state import TrainState
-from fsnerf_tpu.train.step import make_masks
+from fsnerf_tpu.train.step import make_loss_fn, maybe_update_grid
 
 
 def make_parallel_train_step(
@@ -39,57 +38,15 @@ def make_parallel_train_step(
     """Data-parallel train step over `mesh`.
 
     Per-chip batch is cfg.train.batch_size // n_devices rays, so the global
-    batch matches the single-chip configuration exactly.
+    batch matches the single-chip configuration exactly. The loss is the
+    SAME make_loss_fn closure the single-chip step uses (incl. the fused
+    Pallas kernel and the samples_per_ray metric) — only the batch draw, the
+    gradient pmean over ICI, and the metric pmeans are parallel-specific.
     """
-    from fsnerf_tpu.core.losses import mse, occlusion_reg, weight_reg
-    from fsnerf_tpu.render.renderer import (
-        render_rays_hierarchical,
-        render_rays_occgrid,
-    )
-
-    s_cfg, t_cfg = cfg.sampling, cfg.train
+    t_cfg = cfg.train
     n_dev = mesh.devices.size
     local_bs = max(1, t_cfg.batch_size // n_dev)
-    use_occl = t_cfg.beta is not None
-    use_wreg = t_cfg.ao is not None
-    Ts = int(t_cfg.reg_ratio * t_cfg.Td)
-
-    def loss_fn(params, batch, grid, key, step):
-        rays_o, rays_d, rgb_gt = batch
-        pos_mask, dir_mask = make_masks(cfg, step)
-
-        def model_fn(x, d=None):
-            return model.apply(params, x, d, pos_mask=pos_mask,
-                               dir_mask=dir_mask)
-
-        if s_cfg.strategy == "occgrid":
-            out = render_rays_occgrid(
-                model_fn, rays_o, rays_d, grid, s_cfg.n_samples,
-                render_step_size=s_cfg.render_step_size,
-                key=key if s_cfg.perturb else None,
-                white_bkgd=cfg.data.white_bkgd,
-                n_compact=s_cfg.n_compact,
-                early_stop_eps=s_cfg.early_stop_eps)
-            main_mse = mse(out["rgb"], rgb_gt)
-            loss = main_mse
-        else:
-            coarse, out = render_rays_hierarchical(
-                model_fn, rays_o, rays_d, scene.near, scene.far,
-                s_cfg.n_samples, s_cfg.n_fine,
-                key=key if s_cfg.perturb else None,
-                white_bkgd=cfg.data.white_bkgd)
-            main_mse = mse(out["rgb"], rgb_gt)
-            loss = main_mse + mse(coarse["rgb"], rgb_gt)
-
-        if use_occl:
-            loss = loss + occlusion_reg(out["sigmas"], out["t_vals"],
-                                        out["mask"], t_cfg.occ_a, t_cfg.occ_b,
-                                        t_cfg.occ_func)
-        if use_wreg:
-            loss = loss + jnp.where(step < Ts,
-                                    t_cfg.ao * weight_reg(params, t_cfg.reg),
-                                    0.0)
-        return loss, main_mse
+    loss_fn = make_loss_fn(model, cfg, scene)
 
     def sharded_step(state: TrainState) -> Tuple[TrainState, dict]:
         my = jax.lax.axis_index(axis)
@@ -98,41 +55,28 @@ def make_parallel_train_step(
         batch = pool.sample(jax.random.fold_in(k_batch, my), local_bs)
         k_render = jax.random.fold_in(k_render, my)
 
-        (loss, main_mse), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+        (loss, (main_mse, spr, nv_q)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(
             state.params, batch, state.grid, k_render, state.step)
 
         # the gradient all-reduce over ICI
         grads = jax.lax.pmean(grads, axis)
         loss = jax.lax.pmean(loss, axis)
         main_mse = jax.lax.pmean(main_mse, axis)
+        spr = jax.lax.pmean(spr, axis)
+        nv_q = jax.lax.pmean(nv_q, axis)
 
         updates, opt_state = optimizer.update(grads, state.opt_state,
                                               state.params)
         params = optax.apply_updates(state.params, updates)
 
-        if s_cfg.strategy == "occgrid":
-            pos_mask, _ = make_masks(cfg, state.step)
-
-            def density_fn(x):
-                return model.apply(params, x, pos_mask=pos_mask)[..., 0]
-
-            def do_update(grid):
-                # replicated update: same key on every chip -> same grid
-                return og.update(
-                    grid, density_fn, k_grid, state.step,
-                    render_step_size=s_cfg.render_step_size,
-                    occ_thre=s_cfg.occ_thre, ema_decay=s_cfg.ema_decay,
-                    warmup_steps=s_cfg.warmup_steps,
-                    update_parts=s_cfg.update_parts,
-                    update_interval=s_cfg.update_interval)
-
-            grid = jax.lax.cond(state.step % s_cfg.update_interval == 0,
-                                do_update, lambda g: g, state.grid)
-        else:
-            grid = state.grid
+        # replicated update: same key on every chip -> same grid
+        grid = maybe_update_grid(model, cfg, params, state.grid, state.step,
+                                 k_grid)
 
         metrics = {"loss": loss, "psnr": psnr_from_mse(main_mse),
-                   "occupancy": og.occupancy_fraction(grid)}
+                   "occupancy": og.occupancy_fraction(grid),
+                   "samples_per_ray": spr, "n_valid_mean": nv_q}
         new_state = TrainState(params=params, opt_state=opt_state, grid=grid,
                                step=state.step + 1, key=key)
         return new_state, metrics

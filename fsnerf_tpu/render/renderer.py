@@ -21,6 +21,7 @@ stateful torch module.
 
 from __future__ import annotations
 
+import functools
 from typing import Callable, Optional, Tuple
 
 import jax
@@ -86,6 +87,9 @@ def render_rays_occgrid(
         mask = valid & occupied & visible
     else:
         mask = valid & og.query(grid, x)
+    # pre-compaction valid count: the signal for adaptive compaction (how
+    # many samples each ray NEEDS, independent of the K it is squeezed into)
+    n_valid = jnp.sum(mask.astype(jnp.float32), axis=-1)     # [R]
     if n_compact and n_compact < n_samples:
         t_mid, deltas, mask = compact_samples(t_mid, deltas, mask, n_compact)
         x = sample_points(rays_o, rays_d, t_mid)
@@ -95,7 +99,7 @@ def render_rays_occgrid(
     rgbs, sigmas = out4[..., :3], out4[..., 3]
     bkgd = 1.0 if white_bkgd else 0.0
     out = volume_render(sigmas, rgbs, t_mid, deltas, mask, bkgd)
-    out.update(sigmas=sigmas, t_vals=t_mid, mask=mask)
+    out.update(sigmas=sigmas, t_vals=t_mid, mask=mask, n_valid=n_valid)
     return out
 
 
@@ -170,14 +174,27 @@ def make_chunk_renderer(
     far: float = 6.0,
     n_compact: int = 0,
     early_stop_eps: float = 1e-4,
+    mesh=None,
 ) -> Callable:
     """One JITTED (rays_o, rays_d) -> (rgb, depth) chunk renderer.
 
     Build this ONCE per (model, grid, config) and reuse it across chunks and
     frames: an un-jitted chunk loop dispatches op-by-op through the runtime
     (~30x slower end-to-end), and a fresh lambda per frame would recompile.
+
+    `mesh`: optional jax.sharding.Mesh — chunks render SPMD with the ray axis
+    sharded over the mesh's 'data' axis and the model/grid replicated (the
+    tiled-frame rendering of SURVEY.md section 2.3, replacing the reference's
+    sequential chunk loop at rendering.py:152-171). Chunk sizes must then be
+    a multiple of the device count (render_frame guarantees this).
     """
-    @jax.jit
+    jit_kwargs = {}
+    if mesh is not None:
+        from fsnerf_tpu.parallel.mesh import batch_sharding
+        shard = batch_sharding(mesh)
+        jit_kwargs = dict(in_shardings=(shard, shard))
+
+    @functools.partial(jax.jit, **jit_kwargs)
     def render_chunk(rays_o, rays_d):
         out = _render_rays_dispatch(
             model_fn, rays_o, rays_d, key=None, white_bkgd=white_bkgd,
@@ -207,6 +224,7 @@ def render_frame(
     n_compact: int = 0,
     early_stop_eps: float = 1e-4,
     chunk_renderer: Optional[Callable] = None,
+    mesh=None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Render a full H x W frame from one pose (reference rendering.py:110-177).
 
@@ -233,6 +251,9 @@ def render_frame(
 
     n_rays = H * W
     chunksize = min(chunksize, n_rays)
+    if mesh is not None:  # SPMD chunks need the ray axis divisible
+        n_dev = mesh.devices.size
+        chunksize = max(n_dev, (chunksize // n_dev) * n_dev)
     n_chunks = -(-n_rays // chunksize)
     pad = n_chunks * chunksize - n_rays
     if pad:
@@ -247,7 +268,7 @@ def render_frame(
             model_fn, strategy=strategy, grid=grid, n_samples=n_samples,
             n_fine=n_fine, render_step_size=render_step_size,
             white_bkgd=white_bkgd, near=near, far=far, n_compact=n_compact,
-            early_stop_eps=early_stop_eps)
+            early_stop_eps=early_stop_eps, mesh=mesh)
 
     imgs, depths = [], []
     for c in range(n_chunks):
@@ -280,10 +301,14 @@ def render_path(
     if frame_kwargs.get("strategy", "occgrid") == "occgrid":
         chunksize = min(chunksize, 16384)
     chunksize = min(chunksize, H * W)
+    mesh = frame_kwargs.get("mesh")
+    if mesh is not None:
+        n_dev = mesh.devices.size
+        chunksize = max(n_dev, (chunksize // n_dev) * n_dev)
     renderer_kwargs = {k: v for k, v in frame_kwargs.items()
                        if k in ("strategy", "grid", "n_samples", "n_fine",
                                 "render_step_size", "white_bkgd",
-                                "n_compact", "early_stop_eps")}
+                                "n_compact", "early_stop_eps", "mesh")}
     chunk_renderer = make_chunk_renderer(model_fn, near=near, far=far,
                                          **renderer_kwargs)
     frames, d_frames = [], []

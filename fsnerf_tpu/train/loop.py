@@ -26,6 +26,71 @@ from fsnerf_tpu.train.step import (
 )
 
 
+class CompactionController:
+    """Adaptive compaction-K ladder (the main MLP-FLOP lever).
+
+    The occgrid step evaluates the MLP on K = n_compact samples per ray; as
+    the occupancy grid converges, the measured mean pre-compaction valid
+    count drops far below the configured ceiling (e.g. mean ~ 69 vs K = 192
+    on the solid-sphere scene), leaving most of the MLP batch masked padding.
+    This controller tracks the n_valid_mean train metric and proposes the
+    smallest ladder value (multiples of 16) with a 1.25x margin above it; the
+    train loop swaps in a step recompiled at the new K (the persistent
+    compilation cache makes repeat swaps free). Growth on rising need is
+    immediate; shrinking waits for `patience` consecutive observations to
+    avoid oscillation. Rays whose valid count exceeds K get an unbiased
+    coarser quadrature (ops/sampling.py::compact_samples spread), which a
+    3k-step held-out A/B measured quality-neutral down to K far below the
+    tail (24.9/25.1/24.7/25.4 dB at K=192/96/64/32 on the sphere).
+
+    This is the dense-layout counterpart of nerfacc evaluating exactly the
+    unpruned packed samples (reference rendering.py:66-74): nerfacc's ragged
+    CUDA packing adapts per step by construction, a TPU program cannot — so
+    the executable's static K adapts across steps instead.
+    """
+
+    STEP = 16
+
+    def __init__(self, cfg, margin: float = 1.25, patience: int = 2):
+        s = cfg.sampling
+        self.k_max = int(s.n_compact) if s.n_compact else 0
+        self.enabled = bool(s.adapt_compact and s.strategy == "occgrid"
+                            and self.k_max > self.STEP)
+        self.k = self.k_max
+        self.margin = margin
+        self.patience = patience
+        self._below = 0
+
+    def _target(self, nv_q: float) -> int:
+        t = int(-(-self.margin * max(nv_q, 1.0) // self.STEP)) * self.STEP
+        return min(max(t, self.STEP), self.k_max)
+
+    def observe(self, nv_q: float) -> bool:
+        """Feed one n_valid_mean observation; True when K changed."""
+        if not self.enabled:
+            return False
+        t = self._target(nv_q)
+        if t > self.k:                    # need grew: grow immediately
+            self.k = t
+            self._below = 0
+            return True
+        if t < self.k:
+            self._below += 1
+            if self._below >= self.patience:
+                self.k = t
+                self._below = 0
+                return True
+        else:
+            self._below = 0
+        return False
+
+    def apply(self, cfg):
+        """cfg with n_compact pinned to the controller's current K."""
+        import dataclasses
+        return cfg.replace(sampling=dataclasses.replace(
+            cfg.sampling, n_compact=self.k))
+
+
 class MetricsLogger:
     """JSON-lines metrics sink (always on) + optional wandb (reference logs
     exclusively to wandb, run-nerf.py:297-299)."""
@@ -68,6 +133,7 @@ def train(
     log_every: int = 100,
     checkpointer=None,
     val_fn: Optional[Callable] = None,
+    mesh=None,
 ) -> TrainState:
     """Run cfg.train.n_iters optimization steps.
 
@@ -78,6 +144,10 @@ def train(
       checkpointer: optional utils.checkpoint.Checkpointer.
       val_fn: optional callable (state, step) -> dict run every
         cfg.train.val_rate steps when cfg.train.val is set.
+      mesh: optional jax.sharding.Mesh — trains data-parallel over its 'data'
+        axis (per-chip batch = batch_size // n_devices, gradient pmean over
+        ICI); the single-chip path is untouched (and collective-free) when
+        None. Same loss math either way (train/step.py::make_loss_fn).
 
     Returns:
       final TrainState.
@@ -88,13 +158,25 @@ def train(
     if state is None:
         state = init_state(model, cfg, optimizer, scene.aabb,
                            jax.random.key(cfg.train.seed))
-    step_fn = jax.jit(make_train_step(model, cfg, optimizer, pool, scene),
-                      donate_argnums=0)
+    if mesh is not None:
+        from fsnerf_tpu.parallel.mesh import replicate
+        state = replicate(state, mesh)
+
+    def build_step(c):
+        if mesh is not None:
+            from fsnerf_tpu.parallel.train_parallel import \
+                make_parallel_train_step
+            return make_parallel_train_step(model, c, optimizer, pool,
+                                            scene, mesh)
+        return jax.jit(make_train_step(model, c, optimizer, pool, scene),
+                       donate_argnums=0)
+
+    compactor = CompactionController(cfg)
+    step_fn = build_step(cfg)
     schedule = make_schedule(cfg)
 
     start = int(state.step)
     t0 = time.perf_counter()
-    pending = None
     for k in range(start, cfg.train.n_iters):
         state, metrics = step_fn(state)
         if (k + 1) % log_every == 0 or k == cfg.train.n_iters - 1:
@@ -106,8 +188,12 @@ def train(
             m["lr"] = float(schedule(k))
             if cfg.train.ao is not None:
                 m["alpha"] = cfg.train.ao
+            m["n_compact"] = compactor.k
             if logger:
                 logger.log(k + 1, m)
+            # adaptive compaction: swap in a step recompiled at the new K
+            if compactor.observe(float(m.get("n_valid_mean", 0.0))):
+                step_fn = build_step(compactor.apply(cfg))
         if cfg.train.val and val_fn and (k + 1) % cfg.train.val_rate == 0:
             val_metrics = val_fn(state, k + 1)
             if logger and val_metrics:
@@ -129,16 +215,29 @@ def train_scanned(
     chunk: int = 100,
     on_chunk: Optional[Callable] = None,
 ) -> TrainState:
-    """Headless training: lax.scan chunks of `chunk` steps per dispatch."""
+    """Headless training: lax.scan chunks of `chunk` steps per dispatch.
+
+    Adaptive compaction runs at chunk boundaries (each chunk's last-step
+    n_valid_mean feeds the controller; a K change swaps in a chunk program
+    recompiled at the new K).
+    """
     optimizer = make_optimizer(cfg)
     if state is None:
         state = init_state(model, cfg, optimizer, scene.aabb,
                            jax.random.key(cfg.train.seed))
-    step_fn = make_train_step(model, cfg, optimizer, pool, scene)
-    chunk_fn = jax.jit(make_train_chunk(step_fn, chunk), donate_argnums=0)
+
+    def build_chunk(c):
+        step_fn = make_train_step(model, c, optimizer, pool, scene)
+        return jax.jit(make_train_chunk(step_fn, chunk), donate_argnums=0)
+
+    compactor = CompactionController(cfg)
+    chunk_fn = build_chunk(cfg)
     n_chunks = cfg.train.n_iters // chunk
     for c in range(n_chunks):
         state, metrics = chunk_fn(state)
         if on_chunk:
             on_chunk(c, state, metrics)
+        if compactor.enabled and compactor.observe(
+                float(jax.device_get(metrics["n_valid_mean"]))):
+            chunk_fn = build_chunk(compactor.apply(cfg))
     return state

