@@ -75,7 +75,7 @@ def main():
                                        make_train_chunk, make_train_step)
 
     batch_size = 1024
-    warm_steps = 500    # past grid warmup (256) + adaptation settling
+    warm_steps = 900    # past grid warmup (256) + adaptation settling
     bench_steps = 600
     chunk = 100
 
@@ -127,8 +127,10 @@ def main():
     mfu = steps_per_sec * (train_flops + grid_flops) / V5E_BF16_PEAK_FLOPS
 
     # secondary metric: steady-state render throughput (stderr only; the
-    # driver consumes the single stdout JSON line)
+    # driver consumes the single stdout JSON line). Rays are pre-built on
+    # device so this times the render program, not host-side ray setup.
     from fsnerf_tpu.data.rays import get_rays
+    from fsnerf_tpu.ops.occgrid import resolve_query_stride
     from fsnerf_tpu.render.renderer import make_chunk_renderer
 
     def model_fn(x, d=None):
@@ -136,24 +138,23 @@ def main():
     chunk_renderer = make_chunk_renderer(
         model_fn, grid=state.grid, n_samples=cfg.sampling.n_samples,
         white_bkgd=True, near=scene.near, far=scene.far,
-        n_compact=k_settled)
-    poses = scene.path_poses[:9]
-    # compile once on the first frame's first chunk
-    o, d0 = get_rays(jnp.asarray(poses[0]), scene.hwf)
-    o = o.reshape(-1, 3)[:16384]; d0 = d0.reshape(-1, 3)[:16384]
-    jax.block_until_ready(chunk_renderer(o, d0))
-    t0 = time.perf_counter()
-    n_rendered = 0
-    for pose in poses[1:]:
+        n_compact=k_settled,
+        query_stride=resolve_query_stride(cfg.sampling, scene.aabb))
+    chunks = []
+    for pose in scene.path_poses[:9]:
         ro, rd = get_rays(jnp.asarray(pose), scene.hwf)
         ro = ro.reshape(-1, 3); rd = rd.reshape(-1, 3)
         n = (ro.shape[0] // 16384) * 16384
         for c in range(n // 16384):
             sl = slice(c * 16384, (c + 1) * 16384)
-            out = chunk_renderer(ro[sl], rd[sl])
-        jax.block_until_ready(out)
-        n_rendered += n
-    render_rays_sec = n_rendered / (time.perf_counter() - t0)
+            chunks.append((jnp.asarray(ro[sl]), jnp.asarray(rd[sl])))
+    jax.block_until_ready(chunks)
+    jax.block_until_ready(chunk_renderer(*chunks[0]))   # compile
+    t0 = time.perf_counter()
+    for ro, rd in chunks:
+        out = chunk_renderer(ro, rd)
+    jax.block_until_ready(out)
+    render_rays_sec = len(chunks) * 16384 / (time.perf_counter() - t0)
 
     final_psnr = float(jax.device_get(metrics)["psnr"])
     print(json.dumps({

@@ -92,14 +92,18 @@ def evaluate_split(model, params, grid, split, cfg, chunksize=16384,
     from fsnerf_tpu.eval.metrics import evaluate_frames
     from fsnerf_tpu.render.renderer import make_chunk_renderer, render_frame
 
+    from fsnerf_tpu.ops import occgrid as og
+
     model_fn = make_render_model_fn(model, params, cfg)
+    q_stride = og.resolve_query_stride(cfg.sampling, split.aabb)
     chunk_renderer = make_chunk_renderer(
         model_fn, strategy=cfg.sampling.strategy, grid=grid,
         n_samples=cfg.sampling.n_samples, n_fine=cfg.sampling.n_fine,
         render_step_size=cfg.sampling.render_step_size,
         white_bkgd=split.white_bkgd, near=split.near, far=split.far,
         n_compact=cfg.sampling.n_compact,
-        early_stop_eps=cfg.sampling.early_stop_eps, mesh=mesh)
+        early_stop_eps=cfg.sampling.early_stop_eps,
+        query_stride=q_stride, mesh=mesh)
 
     preds = []
     for pose in split.poses:
@@ -142,6 +146,7 @@ def save_video(frames, d_frames, out_dir, fps=30):
 
 def main(argv=None):
     from fsnerf_tpu.config import config_from_args
+    from fsnerf_tpu.ops.occgrid import resolve_query_stride
     from fsnerf_tpu.render.renderer import render_path
     from fsnerf_tpu.train.loop import MetricsLogger, train
     from fsnerf_tpu.train.step import init_state, make_optimizer
@@ -209,8 +214,11 @@ def main(argv=None):
         # validation calls — no recompilation per val_rate — and the FreeNeRF
         # frequency masks are threaded from the live training step so
         # mid-annealing renders match what the model is trained with.
+        from fsnerf_tpu.ops import occgrid as og
         from fsnerf_tpu.render.renderer import _render_rays_dispatch
         from fsnerf_tpu.train.step import make_masks
+
+        val_q_stride = og.resolve_query_stride(cfg.sampling, val_split.aabb)
 
         @jax.jit
         def _val_chunk(params, grid, step, rays_o, rays_d):
@@ -228,7 +236,8 @@ def main(argv=None):
                 near=val_split.near, far=val_split.far,
                 render_step_size=cfg.sampling.render_step_size,
                 n_compact=cfg.sampling.n_compact,
-                early_stop_eps=cfg.sampling.early_stop_eps)
+                early_stop_eps=cfg.sampling.early_stop_eps,
+                query_stride=val_q_stride)
             return out["rgb"], out["depth"]
 
         def val_fn(state, step):
@@ -285,7 +294,8 @@ def main(argv=None):
         render_step_size=cfg.sampling.render_step_size,
         ndc=train_split.ndc, white_bkgd=train_split.white_bkgd,
         chunksize=2 * cfg.train.batch_size,
-        n_compact=cfg.sampling.n_compact, mesh=mesh)
+        n_compact=cfg.sampling.n_compact, mesh=mesh,
+        query_stride=resolve_query_stride(cfg.sampling, train_split.aabb))
     if not cfg.log.debug:
         written = save_video(frames, d_frames,
                              os.path.join(out_dir, "video"))

@@ -101,6 +101,10 @@ class SamplingConfig:
     # transmittance early termination using the grid's EMA density values
     # (nerfacc early_stop_eps semantics); 0 disables.
     early_stop_eps: float = 1e-4
+    # occupancy-query decimation: one grid lookup per group of this many
+    # samples. 0 = auto (largest lossless stride for the scene's cell size,
+    # ops/occgrid.py::auto_query_stride).
+    query_stride: int = 0
     render_step_size: float = 5e-3  # reference fixed march step
     grid_resolution: int = 128
     grid_levels: int = 1            # 1 for synthetic, 4 for llff (run-nerf.py:92-93)
@@ -267,6 +271,8 @@ def config_parser() -> argparse.ArgumentParser:
     g.add_argument("--no_adapt_compact", action="store_true",
                    help="Disable the adaptive compaction-K ladder")
     g.add_argument("--early_stop_eps", default=1e-4, type=float)
+    g.add_argument("--query_stride", default=0, type=int,
+                   help="Occupancy-query sample stride (0 = auto)")
 
     g = p.add_argument_group("training")
     g.add_argument("--n_iters", default=20**3, type=int)
@@ -343,6 +349,7 @@ _FLAG_MAP = {
     "occ_thre": ("sampling", "occ_thre"),
     "n_compact": ("sampling", "n_compact"),
     "early_stop_eps": ("sampling", "early_stop_eps"),
+    "query_stride": ("sampling", "query_stride"),
     "n_iters": ("train", "n_iters"),
     "batch_size": ("train", "batch_size"),
     "lro": ("train", "lro"),

@@ -120,6 +120,51 @@ def query(grid: OccGrid, x: jax.Array) -> jax.Array:
     return occ & found
 
 
+def auto_query_stride(aabb, resolution: int, step_size: float,
+                      n_samples: int, max_stride: int = 4) -> int:
+    """Largest safe sample stride for occupancy queries.
+
+    Ray samples march at `step_size` but grid cells are typically several
+    steps wide, so querying every sample is redundant HBM gather traffic
+    (the dominant render-chunk cost at stride 1). Querying one sample per
+    group of `stride` is provably lossless for any cell at least
+    stride*step_size wide: such a cell covers >= stride consecutive sample
+    indices, and any `stride` consecutive integers contain a multiple of
+    `stride` (the queried one). Cells clipped shorter than that at a ray's
+    corner crossing can be missed — the same quantization nerfacc's fixed-
+    step DDA midpoint sampling has (reference rendering.py:66-74).
+
+    Static (host) computation: aabb must be concrete (scene metadata).
+
+    Safety uses the WORST-CASE sample spacing: rays whose AABB segment
+    exceeds n_samples * step_size spread their budget over the segment
+    (ops/sampling.py::uniform_samples), so dt can grow up to
+    diagonal / n_samples.
+    """
+    import numpy as np
+    ab = np.asarray(aabb, np.float64)
+    ext = ab[3:] - ab[:3]
+    cell = float(np.min(ext)) / resolution
+    dt_max = max(step_size, float(np.linalg.norm(ext)) / n_samples)
+    s = 1
+    while (s * 2 <= max_stride and cell >= (s * 2) * dt_max
+           and n_samples % (s * 2) == 0):
+        s *= 2
+    return s
+
+
+def resolve_query_stride(sampling_cfg, aabb) -> int:
+    """Effective query stride for a SamplingConfig + concrete scene aabb
+    (0 in the config = auto)."""
+    if sampling_cfg.strategy != "occgrid":
+        return 1
+    if sampling_cfg.query_stride:
+        return int(sampling_cfg.query_stride)
+    return auto_query_stride(aabb, sampling_cfg.grid_resolution,
+                             sampling_cfg.render_step_size,
+                             sampling_cfg.n_samples)
+
+
 def query_with_density(grid: OccGrid, x: jax.Array):
     """Like query(), also returning the cell's EMA occupancy VALUE.
 
@@ -151,6 +196,9 @@ def query_with_density(grid: OccGrid, x: jax.Array):
     n2 = grid.levels * res * res
     # ONE gather: occupancy is derived as occ_value > thre (the update
     # stores the binarization threshold), halving query gather traffic.
+    # (Measured: the gather is latency-bound per ROW, not per byte — a bf16
+    # row copy saves nothing and blocks the multiply-reduce fusion; row COUNT
+    # is what matters, hence the query_stride decimation in the renderer.)
     orows = grid.occs.reshape(n2, res)[row]
     hit = (jax.lax.broadcasted_iota(jnp.int32, orows.shape, orows.ndim - 1)
            == z[..., None])

@@ -56,6 +56,7 @@ def render_rays_occgrid(
     white_bkgd: bool = False,
     n_compact: int = 0,
     early_stop_eps: float = 1e-4,
+    query_stride: int = 1,
 ) -> dict:
     """Occupancy-grid-masked dense rendering (reference render_rays semantics).
 
@@ -69,6 +70,10 @@ def render_rays_occgrid(
         visibility pruning, rendering.py:66-74): samples whose APPROXIMATE
         transmittance — from the occupancy grid's EMA density values — falls
         below eps are masked before the MLP runs. 0 disables.
+      query_stride: occupancy-query decimation — one grid lookup per group of
+        this many samples (lossless for cells >= stride * step wide; compute
+        with og.auto_query_stride from STATIC scene metadata). Must divide
+        n_samples.
 
     Returns:
       dict(rgb, opacity, depth, weights, trans_final, sigmas, t_vals, mask).
@@ -77,8 +82,22 @@ def render_rays_occgrid(
         rays_o, rays_d, og.outer_aabb(grid), n_samples, key=key,
         step_size=render_step_size)
     x = sample_points(rays_o, rays_d, t_mid)                 # [R, S, 3]
+    R = x.shape[0]
+    if query_stride > 1:
+        # query group-center samples only; broadcast the result to the group
+        xq = x[:, query_stride // 2::query_stride]
+    else:
+        xq = x
+
+    def expand(g):
+        if query_stride == 1:
+            return g
+        return jnp.broadcast_to(
+            g[..., None], (*g.shape, query_stride)).reshape(R, n_samples)
+
     if early_stop_eps > 0:
-        occupied, occ_val = og.query_with_density(grid, x)
+        occupied, occ_val = og.query_with_density(grid, xq)
+        occupied, occ_val = expand(occupied), expand(occ_val)
         # occ EMA values approximate sigma * render_step_size per cell
         approx_od = jnp.where(valid, occ_val * (deltas / render_step_size),
                               0.0)
@@ -86,7 +105,7 @@ def render_rays_occgrid(
         visible = jnp.exp(-(cum - approx_od)) > early_stop_eps
         mask = valid & occupied & visible
     else:
-        mask = valid & og.query(grid, x)
+        mask = valid & expand(og.query(grid, xq))
     # pre-compaction valid count: the signal for adaptive compaction (how
     # many samples each ray NEEDS, independent of the K it is squeezed into)
     n_valid = jnp.sum(mask.astype(jnp.float32), axis=-1)     # [R]
@@ -149,12 +168,14 @@ def render_rays_hierarchical(
 
 def _render_rays_dispatch(model_fn, rays_o, rays_d, key, white_bkgd, *,
                           strategy, grid, n_samples, n_fine, near, far,
-                          render_step_size, n_compact=0, early_stop_eps=1e-4):
+                          render_step_size, n_compact=0, early_stop_eps=1e-4,
+                          query_stride=1):
     if strategy == "occgrid":
         return render_rays_occgrid(
             model_fn, rays_o, rays_d, grid, n_samples,
             render_step_size=render_step_size, key=key, white_bkgd=white_bkgd,
-            n_compact=n_compact, early_stop_eps=early_stop_eps)
+            n_compact=n_compact, early_stop_eps=early_stop_eps,
+            query_stride=query_stride)
     _, fine = render_rays_hierarchical(
         model_fn, rays_o, rays_d, near, far, n_samples, n_fine,
         key=key, white_bkgd=white_bkgd)
@@ -174,6 +195,7 @@ def make_chunk_renderer(
     far: float = 6.0,
     n_compact: int = 0,
     early_stop_eps: float = 1e-4,
+    query_stride: int = 1,
     mesh=None,
 ) -> Callable:
     """One JITTED (rays_o, rays_d) -> (rgb, depth) chunk renderer.
@@ -200,7 +222,8 @@ def make_chunk_renderer(
             model_fn, rays_o, rays_d, key=None, white_bkgd=white_bkgd,
             strategy=strategy, grid=grid, n_samples=n_samples, n_fine=n_fine,
             near=near, far=far, render_step_size=render_step_size,
-            n_compact=n_compact, early_stop_eps=early_stop_eps)
+            n_compact=n_compact, early_stop_eps=early_stop_eps,
+            query_stride=query_stride)
         return out["rgb"], out["depth"]
 
     return render_chunk
@@ -223,6 +246,7 @@ def render_frame(
     chunksize: int = 16384,
     n_compact: int = 0,
     early_stop_eps: float = 1e-4,
+    query_stride: int = 1,
     chunk_renderer: Optional[Callable] = None,
     mesh=None,
 ) -> Tuple[jax.Array, jax.Array]:
@@ -268,7 +292,8 @@ def render_frame(
             model_fn, strategy=strategy, grid=grid, n_samples=n_samples,
             n_fine=n_fine, render_step_size=render_step_size,
             white_bkgd=white_bkgd, near=near, far=far, n_compact=n_compact,
-            early_stop_eps=early_stop_eps, mesh=mesh)
+            early_stop_eps=early_stop_eps, query_stride=query_stride,
+            mesh=mesh)
 
     imgs, depths = [], []
     for c in range(n_chunks):
@@ -307,8 +332,8 @@ def render_path(
         chunksize = max(n_dev, (chunksize // n_dev) * n_dev)
     renderer_kwargs = {k: v for k, v in frame_kwargs.items()
                        if k in ("strategy", "grid", "n_samples", "n_fine",
-                                "render_step_size", "white_bkgd",
-                                "n_compact", "early_stop_eps", "mesh")}
+                                "render_step_size", "white_bkgd", "n_compact",
+                                "early_stop_eps", "query_stride", "mesh")}
     chunk_renderer = make_chunk_renderer(model_fn, near=near, far=far,
                                          **renderer_kwargs)
     frames, d_frames = [], []

@@ -75,6 +75,7 @@ def make_loss_fn(model, cfg, scene) -> Callable:
     use_occl = t_cfg.beta is not None
     use_wreg = t_cfg.ao is not None
     Ts = int(t_cfg.reg_ratio * t_cfg.Td)            # run-nerf.py:270
+    q_stride = og.resolve_query_stride(s_cfg, scene.aabb)
 
     def loss_fn(params, batch, grid, key, step):
         rays_o, rays_d, rgb_gt = batch
@@ -92,7 +93,8 @@ def make_loss_fn(model, cfg, scene) -> Callable:
                 render_step_size=s_cfg.render_step_size,
                 key=key if s_cfg.perturb else None, white_bkgd=white_bkgd,
                 n_compact=s_cfg.n_compact,
-                early_stop_eps=s_cfg.early_stop_eps)
+                early_stop_eps=s_cfg.early_stop_eps,
+                query_stride=q_stride)
             loss = mse(out["rgb"], rgb_gt)
             main_mse = loss
             outs = (out,)

@@ -130,3 +130,57 @@ def test_occ_eval_uses_render_step_size():
     grid2 = og.update(grid2, lambda x: 10 * jnp.ones(x.shape[:-1]), None,
                       jnp.asarray(0), render_step_size=5e-3, occ_thre=1e-2)
     assert float(og.occupancy_fraction(grid2)) == 1.0
+
+
+def test_auto_query_stride():
+    from fsnerf_tpu.ops.occgrid import auto_query_stride
+    aabb = [-1.5, -1.5, -1.5, 1.5, 1.5, 1.5]
+    # sphere/lego regime: cell 3/128 = 0.0234, worst dt = diag/512 = 0.0101
+    assert auto_query_stride(aabb, 128, 5e-3, 512) == 2
+    # coarse grid -> bigger cells -> full stride
+    assert auto_query_stride(aabb, 32, 5e-3, 512) == 4
+    # stride must divide n_samples
+    assert auto_query_stride(aabb, 32, 5e-3, 510) == 2
+    # tiny cells -> no decimation
+    assert auto_query_stride(aabb, 1024, 5e-3, 512) == 1
+
+
+def test_query_stride_render_equivalence():
+    """Strided occupancy queries must agree with per-sample queries wherever
+    the lossless-stride condition holds (cells >= stride * dt)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from fsnerf_tpu.ops import occgrid as og
+    from fsnerf_tpu.render.renderer import render_rays_occgrid
+
+    grid = og.create(jnp.array([-1.5, -1.5, -1.5, 1.5, 1.5, 1.5]),
+                     resolution=16, levels=1)
+    # carve a plausible grid: occupied shell around radius 1
+    res = 16
+    ijk = np.stack(np.meshgrid(*[np.arange(res)] * 3, indexing="ij"),
+                   -1).reshape(-1, 3)
+    centers = -1.5 + (ijk + 0.5) / res * 3.0
+    r = np.linalg.norm(centers, axis=-1)
+    occs = np.where(np.abs(r - 1.0) < 0.3, 0.05, 0.0).astype(np.float32)
+    grid = grid.replace(occs=jnp.asarray(occs[None]),
+                        binaries=jnp.asarray(occs[None] > 1e-2),
+                        thre=jnp.asarray(1e-2))
+
+    rng = np.random.default_rng(0)
+    o = rng.normal(size=(64, 3)); o = o / np.linalg.norm(o, -1, keepdims=True) * 4
+    d = -o / np.linalg.norm(o, -1, keepdims=True)
+    o = jnp.asarray(o, jnp.float32); d = jnp.asarray(d, jnp.float32)
+
+    def mf(x, dirs=None):
+        sig = jnp.exp(-jnp.sum(x * x, -1, keepdims=True))
+        return jnp.concatenate([0.5 * jnp.ones((*x.shape[:-1], 3)), sig], -1)
+
+    # cell = 3/16 = 0.1875; dt <= max(0.05, diag/64 = 0.081) -> stride 2 safe
+    outs = [render_rays_occgrid(mf, o, d, grid, 64, render_step_size=0.05,
+                                white_bkgd=True, query_stride=s)
+            for s in (1, 2)]
+    np.testing.assert_allclose(np.asarray(outs[0]["rgb"]),
+                               np.asarray(outs[1]["rgb"]), atol=0.02)
+    agree = np.mean(np.asarray(outs[0]["mask"] == outs[1]["mask"]))
+    assert agree > 0.97, agree
