@@ -156,6 +156,49 @@ def main():
     jax.block_until_ready(out)
     render_rays_sec = len(chunks) * 16384 / (time.perf_counter() - t0)
 
+    # fused ray-march kernel (MLP + compositing + exact early exit in one
+    # Pallas kernel, ops/pallas/render.py) on the same chunks
+    from fsnerf_tpu.ops.pallas.render import make_fused_ray_renderer
+    fused_fn = make_fused_ray_renderer(
+        state.params, n_layers=cfg.model.n_layers,
+        skip=tuple(cfg.model.skip), n_freqs=cfg.encoder.n_freqs,
+        n_freqs_views=cfg.encoder.n_freqs_views, early_stop_eps=1e-4)
+    fused_renderer = make_chunk_renderer(
+        None, grid=state.grid, n_samples=cfg.sampling.n_samples,
+        white_bkgd=True, near=scene.near, far=scene.far,
+        n_compact=k_settled,
+        query_stride=resolve_query_stride(cfg.sampling, scene.aabb),
+        fused_render_fn=fused_fn)
+    jax.block_until_ready(fused_renderer(*chunks[0]))   # compile
+    t0 = time.perf_counter()
+    for ro, rd in chunks:
+        out = fused_renderer(ro, rd)
+    jax.block_until_ready(out)
+    fused_render_rays_sec = len(chunks) * 16384 / (time.perf_counter() - t0)
+
+    # secondary metric: hierarchical-strategy training throughput (stderr) —
+    # BASELINE.json config 2 (classic coarse/fine inverse-CDF resampling),
+    # 64 coarse + 128 fine (the classic-NeRF split). Total MLP evals/ray =
+    # 64 + 192 = 256, comparable to the occgrid path's S=512-masked lattice.
+    h_warm, h_bench = 100, 200
+    cfg_h = cfg.replace(
+        sampling=SamplingConfig(strategy="hierarchical", n_samples=64,
+                                n_fine=128),
+        train=TrainConfig(n_iters=h_warm + h_bench, batch_size=batch_size,
+                          dtype="bfloat16"))
+    state_h = init_state(model, cfg_h, optimizer, scene.aabb,
+                         jax.random.key(0))
+    step_h = make_train_step(model, cfg_h, optimizer, pool, scene)
+    chunk_h = jax.jit(make_train_chunk(step_h, chunk), donate_argnums=0)
+    for _ in range(h_warm // chunk):
+        state_h, m_h = chunk_h(state_h)
+    jax.block_until_ready(m_h)
+    t0 = time.perf_counter()
+    for _ in range(h_bench // chunk):
+        state_h, m_h = chunk_h(state_h)
+    jax.block_until_ready(m_h)
+    hier_rays_sec = h_bench * batch_size / (time.perf_counter() - t0)
+
     final_psnr = float(jax.device_get(metrics)["psnr"])
     print(json.dumps({
         "metric": "train_rays_per_sec_per_chip",
@@ -167,6 +210,8 @@ def main():
           f" | K settled {k_settled} | mfu {mfu:.3f}"
           f" | train_psnr {final_psnr:.2f}"
           f" | render {render_rays_sec:.0f} rays/s"
+          f" | fused_render {fused_render_rays_sec:.0f} rays/s"
+          f" | hierarchical {hier_rays_sec:.0f} rays/s"
           f" | baseline anchor: 5x A100@{A100_TRAIN_RAYS_PER_SEC:.0f} rays/s",
           file=sys.stderr)
 

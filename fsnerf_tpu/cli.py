@@ -84,6 +84,29 @@ def make_render_model_fn(model, params, cfg, step=None):
     return model_fn
 
 
+def make_fused_render_fn(params, cfg, step=None, mesh=None):
+    """Fused ray-march render kernel (MLP + compositing + exact early exit,
+    ops/pallas/render.py) when --fused_render applies; None otherwise.
+
+    Gated to NeRF + occgrid + single-chip: the Pallas call is not
+    automatically partitionable under the mesh-sharded chunk renderer.
+    """
+    if not (cfg.model.fused_render and cfg.model.model == "nerf"
+            and cfg.sampling.strategy == "occgrid" and mesh is None):
+        return None
+    from fsnerf_tpu.ops.pallas.render import make_fused_ray_renderer
+    from fsnerf_tpu.train.step import make_masks
+    pos_mask, dir_mask = (None, None) if step is None else \
+        make_masks(cfg, step)
+    return make_fused_ray_renderer(
+        params, n_layers=cfg.model.n_layers, skip=tuple(cfg.model.skip),
+        n_freqs=cfg.encoder.n_freqs, n_freqs_views=cfg.encoder.n_freqs_views,
+        log_space=cfg.encoder.log_space,
+        density_activation=cfg.model.density_activation,
+        early_stop_eps=cfg.sampling.early_stop_eps,
+        pos_mask=pos_mask, dir_mask=dir_mask)
+
+
 def evaluate_split(model, params, grid, split, cfg, chunksize=16384,
                    mesh=None):
     """Final metrics over a split (reference evaluation(),
@@ -103,7 +126,8 @@ def evaluate_split(model, params, grid, split, cfg, chunksize=16384,
         white_bkgd=split.white_bkgd, near=split.near, far=split.far,
         n_compact=cfg.sampling.n_compact,
         early_stop_eps=cfg.sampling.early_stop_eps,
-        query_stride=q_stride, mesh=mesh)
+        query_stride=q_stride, mesh=mesh,
+        fused_render_fn=make_fused_render_fn(params, cfg, mesh=mesh))
 
     preds = []
     for pose in split.poses:
@@ -295,7 +319,8 @@ def main(argv=None):
         ndc=train_split.ndc, white_bkgd=train_split.white_bkgd,
         chunksize=2 * cfg.train.batch_size,
         n_compact=cfg.sampling.n_compact, mesh=mesh,
-        query_stride=resolve_query_stride(cfg.sampling, train_split.aabb))
+        query_stride=resolve_query_stride(cfg.sampling, train_split.aabb),
+        fused_render_fn=make_fused_render_fn(state.params, cfg, mesh=mesh))
     if not cfg.log.debug:
         written = save_video(frames, d_frames,
                              os.path.join(out_dir, "video"))

@@ -50,6 +50,10 @@ class ModelConfig:
     # Use the fused Pallas MLP kernel (ops/pallas/mlp.py) for inference
     # rendering paths (eval / path video). NeRF model only.
     fused_kernel: bool = False
+    # Use the fused ray-march render kernel (ops/pallas/render.py: MLP +
+    # compositing + exact early exit in one kernel) for eval/video rendering.
+    # NeRF model, occgrid strategy, single-chip only.
+    fused_render: bool = False
 
 
 @dataclass(frozen=True)
@@ -246,6 +250,9 @@ def config_parser() -> argparse.ArgumentParser:
                    default="none")
     g.add_argument("--fused_kernel", action="store_true",
                    help="Fused Pallas MLP for inference rendering (nerf only)")
+    g.add_argument("--fused_render", action="store_true",
+                   help="Fused MLP+composite+early-exit render kernel for "
+                        "eval/video (nerf, occgrid, single-chip)")
 
     g = p.add_argument_group("data")
     g.add_argument("--dataset", choices=["synthetic", "llff", "sphere"],
@@ -332,6 +339,7 @@ _FLAG_MAP = {
     "n_layers": ("model", "n_layers"),
     "density_activation": ("model", "density_activation"),
     "fused_kernel": ("model", "fused_kernel"),
+    "fused_render": ("model", "fused_render"),
     "dataset": ("data", "dataset"),
     "scene": ("data", "scene"),
     "n_imgs": ("data", "n_imgs"),

@@ -1,0 +1,268 @@
+"""Fused ray-march render kernel: MLP + compositing + early exit in VMEM.
+
+The forward-rendering analogue of nerfacc's transmittance-based termination
+(reference rendering.py:66-74): nerfacc stops marching a ray once its
+transmittance falls below a cutoff so the MLP never evaluates occluded
+samples. The dense TPU design can't drop individual samples (static shapes),
+but it CAN skip whole sample-chunks.
+
+Structure (see /opt/skills/guides/pallas_guide.md): a 2D grid
+(ray_blocks, sample_chunks) where the sample-chunk axis iterates innermost.
+Compositing accumulators live in VMEM scratch and persist across the chunk
+steps of one ray block; outputs use a chunk-constant index map so Mosaic
+keeps them resident and flushes once per ray block. Each grid step is
+predicated (@pl.when) on the block still being alive:
+
+  * every ray past the transmittance cutoff (exact, not the occupancy-grid
+    approximation used pre-compaction)  -> skip the chunk's GEMM stack, or
+  * the chunk has no valid (grid-occupied) samples for any ray -> skip.
+
+All chunk addressing happens through BlockSpec index maps — Mosaic forbids
+dynamic lane-dim slicing inside the kernel (offsets must be provably
+128-aligned), so the caller lays inputs out chunk-major:
+encodings [n_chunks, R*chunk_s, d], per-sample scalars [n_chunks, R, chunk_s].
+
+After compact_samples each ray's valid samples form a prefix, and rays in a
+render chunk are consecutive image pixels (spatially coherent n_valid), so
+block-level skipping recovers most of nerfacc's per-ray termination without
+ragged shapes. Per-ray termination granularity = block_rows x chunk_s.
+
+The composite math is the exp/cumsum form of ops/volrend.py; per-chunk
+transmittance carries across chunks via accumulated optical depth, so the
+result equals the monolithic composite up to f32 rounding.
+
+Equivalence vs (model.apply + volume_render) is tested in tests/test_pallas.py
+and driven compiled-on-TPU by .verify_drive.py.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from fsnerf_tpu.ops.pallas.mlp import _round_up, prep_params
+from fsnerf_tpu.ops.pallas.mlp_train import _weight_names, _flat_from_prepped
+from fsnerf_tpu.ops.pallas.volrend import _cumsum_lanes
+
+
+def _mlp_chunk(encx, encd, ws, n_layers, skip, density_activation):
+    """Fused MLP on one [bN, :] chunk (weights already read from refs).
+
+    Returns (rgb [bN, 128] lanes 0..2, sigma [bN, 128] lane 0, activated).
+    """
+    f32 = jnp.float32
+    h = None
+    for i in range(n_layers):
+        if i > 0 and (i - 1) in skip:
+            y = (jnp.dot(h, ws[f"t{i}a"], preferred_element_type=f32)
+                 + jnp.dot(encx, ws[f"t{i}b"], preferred_element_type=f32))
+        elif i == 0:
+            y = jnp.dot(encx, ws["t0"], preferred_element_type=f32)
+        else:
+            y = jnp.dot(h, ws[f"t{i}"], preferred_element_type=f32)
+        h = jnp.maximum(y + ws[f"b{i}"].astype(f32), 0.0).astype(jnp.bfloat16)
+
+    sigma = (jnp.dot(h, ws["w_sigma"], preferred_element_type=f32)
+             + ws["b_sigma"].astype(f32))
+    if density_activation == "relu":
+        sigma = jnp.maximum(sigma, 0.0)
+    elif density_activation == "trunc_exp":
+        sigma = jnp.exp(jnp.clip(sigma, -15.0, 15.0))
+
+    feat = (jnp.dot(h, ws["w_conn"], preferred_element_type=f32)
+            + ws["b_conn"].astype(f32)).astype(jnp.bfloat16)
+    br = (jnp.dot(feat, ws["w_branch_h"], preferred_element_type=f32)
+          + jnp.dot(encd, ws["w_branch_d"], preferred_element_type=f32)
+          + ws["b_branch"].astype(f32))
+    br = jnp.maximum(br, 0.0).astype(jnp.bfloat16)
+    rgb = jax.nn.sigmoid(
+        jnp.dot(br, ws["w_rgb"], preferred_element_type=f32)
+        + ws["b_rgb"].astype(f32))
+    return rgb, sigma
+
+
+def _render_kernel(n_layers, skip, density_activation, chunk_s, log_eps,
+                   names, *refs):
+    """refs = (encx_t, encd_rep, t_t, delta_t, mask_t, *weights,
+               stats_out, rgb_acc, misc_acc)."""
+    encx_ref, encd_ref, t_ref, delta_ref, mask_ref = refs[:5]
+    ws = {n: refs[5 + i][:] for i, n in enumerate(names)}
+    stats_ref = refs[5 + len(names)]
+    rgb_acc = refs[6 + len(names)]     # VMEM scratch [bR, 128] f32
+    misc_acc = refs[7 + len(names)]    # VMEM scratch [bR, 8] f32:
+    #   lane 0 = opacity, lane 1 = depth, lane 2 = accumulated optical depth
+    c = pl.program_id(1)
+    n_chunks = pl.num_programs(1)
+    bR = stats_ref.shape[0]
+
+    @pl.when(c == 0)
+    def _zero():
+        rgb_acc[:] = jnp.zeros_like(rgb_acc)
+        misc_acc[:] = jnp.zeros_like(misc_acc)
+
+    # exact early exit: skip the whole chunk (GEMMs included) once every ray
+    # in the block is past the transmittance cutoff
+    alive = jnp.min(misc_acc[:, 2]) < -log_eps
+    mask_m = mask_ref[0]                                  # [bR, cS]
+    has_valid = jnp.max(mask_m) > 0.0
+
+    @pl.when(alive & has_valid)
+    def _chunk():
+        e2 = encx_ref[0]                                  # [bR*cS, d_enc]
+        ed = encd_ref[:]                                  # [bR*cS, d_dir]
+        rgb, sigma_g = _mlp_chunk(e2, ed, ws, n_layers, skip,
+                                  density_activation)
+
+        # per-sample scalars in [bR, cS] (sample axis in lanes); the sigma
+        # head's lane 0 is re-laid-out from GEMM-row space — static relayout
+        sigma_m = sigma_g.reshape(bR, chunk_s, 128)[:, :, 0]
+        t_m = t_ref[0]
+        d_m = delta_ref[0]
+        od = sigma_m * d_m * mask_m
+        alpha = 1.0 - jnp.exp(-od)
+        cum = _cumsum_lanes(od)
+        trans = jnp.exp(-(misc_acc[:, 2:3] + cum - od))
+        w = trans * alpha                                 # [bR, cS]
+
+        rgb3 = rgb.reshape(bR, chunk_s, 128)
+        rgb_acc[:] += jnp.sum(rgb3 * w[:, :, None], axis=1)
+        misc_acc[:, 0:1] += jnp.sum(w, axis=-1, keepdims=True)
+        misc_acc[:, 1:2] += jnp.sum(w * t_m, axis=-1, keepdims=True)
+        misc_acc[:, 2:3] += cum[:, -1:]
+
+    @pl.when(c == n_chunks - 1)
+    def _flush():
+        trans_final = jnp.exp(-misc_acc[:, 2:3])
+        stats_ref[:] = jnp.concatenate(
+            [rgb_acc[:, 0:3], misc_acc[:, 0:1], misc_acc[:, 1:2],
+             trans_final, jnp.zeros((bR, 2), jnp.float32)], axis=-1)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "n_layers", "skip", "density_activation", "block_rows", "chunk_s",
+    "early_stop_eps", "interpret"))
+def _fused_render_call(encx_t, encd_rep, t_t, deltas_t, mask_t, flat_weights,
+                       n_layers, skip, density_activation, block_rows,
+                       chunk_s, early_stop_eps, interpret):
+    n_chunks, n_rcs, d_enc = encx_t.shape
+    R = n_rcs // chunk_s
+    names = _weight_names(n_layers, skip)
+    kernel = functools.partial(
+        _render_kernel, n_layers, skip, density_activation, chunk_s,
+        float(math.log(early_stop_eps)), names)
+    plane = pl.BlockSpec((1, block_rows, chunk_s), lambda i, c: (c, i, 0),
+                         memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=(R // block_rows, n_chunks),
+        in_specs=[
+            pl.BlockSpec((1, block_rows * chunk_s, d_enc),
+                         lambda i, c: (c, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_rows * chunk_s, encd_rep.shape[-1]),
+                         lambda i, c: (i, 0), memory_space=pltpu.VMEM),
+            plane, plane, plane,
+            *[pl.BlockSpec(memory_space=pltpu.VMEM) for _ in flat_weights],
+        ],
+        out_specs=pl.BlockSpec((block_rows, 8), lambda i, c: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((R, 8), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((block_rows, 128), jnp.float32),
+            pltpu.VMEM((block_rows, 8), jnp.float32),
+        ],
+        interpret=interpret,
+    )(encx_t, encd_rep, t_t, deltas_t, mask_t, *flat_weights)
+
+
+def _pick_chunk_s(k: int, want: int = 16) -> int:
+    for c in (want, 8, 4, 2, 1):
+        if k % c == 0:
+            return c
+    return 1
+
+
+def make_fused_ray_renderer(
+    params: dict,
+    n_layers: int = 8,
+    skip=(4,),
+    n_freqs: int = 10,
+    n_freqs_views: int = 4,
+    log_space: bool = True,
+    density_activation: str = "none",
+    early_stop_eps: float = 1e-4,
+    block_rows: int = 128,
+    chunk_s: int = 16,
+    interpret: bool = False,
+    pos_mask=None,
+    dir_mask=None,
+):
+    """Build render_fn(x, dirs, t, deltas, mask, bkgd) -> dict for the
+    occgrid render path (drop-in for the model_fn + volume_render stage of
+    render_rays_occgrid; see renderer.py).
+
+    Args:
+      x: [R, K, 3] sample points; dirs: [R, 3] per-RAY directions (constant
+        along a ray when rendering — encoded once per ray, repeated in the
+        chunk-row layout instead of streaming K encodings from HBM).
+      t/deltas: [R, K]; mask: [R, K] bool; bkgd: scalar or [3].
+
+    Returns dict(rgb [R,3], opacity [R], depth [R], trans_final [R]).
+    """
+    from fsnerf_tpu.core.encoding import positional_encoding
+
+    prepped = prep_params(params, n_layers=n_layers, skip=skip)
+    flat = tuple(_flat_from_prepped(prepped))
+    skip = tuple(skip)
+    eps = max(float(early_stop_eps), 1e-30)     # 0 disables exit, keep finite
+
+    def render_fn(x, dirs, t, deltas, mask, bkgd=0.0):
+        R, K, _ = x.shape
+        cs = _pick_chunk_s(K, chunk_s)
+        nC = K // cs
+        bR = min(block_rows, max(8, R))
+        f32 = jnp.float32
+        n_pad = _round_up(max(R, bR), bR)
+        d_enc_pad, d_dir_pad = prepped["d_enc_pad"], prepped["d_dir_pad"]
+
+        def pad_rays(a, fill=0.0):
+            if n_pad == R:
+                return a
+            widths = [(0, n_pad - R)] + [(0, 0)] * (a.ndim - 1)
+            return jnp.pad(a, widths, constant_values=fill)
+
+        # chunk-major layouts (all chunk addressing is via index maps — the
+        # kernel never slices the lane dim dynamically)
+        xt = pad_rays(x).reshape(n_pad, nC, cs, 3)
+        xt = xt.transpose(1, 0, 2, 3).reshape(nC * n_pad * cs, 3)
+        encx = positional_encoding(xt, n_freqs, log_space, pos_mask)
+        ex = jnp.zeros((nC, n_pad * cs, d_enc_pad), jnp.bfloat16)
+        ex = ex.at[:, :, : encx.shape[-1]].set(
+            encx.astype(jnp.bfloat16).reshape(nC, n_pad * cs, -1))
+
+        encd = positional_encoding(pad_rays(dirs), n_freqs_views, log_space,
+                                   dir_mask)
+        ed = jnp.zeros((n_pad, d_dir_pad), jnp.bfloat16)
+        ed = ed.at[:, : encd.shape[-1]].set(encd.astype(jnp.bfloat16))
+        ed_rep = jnp.broadcast_to(ed[:, None, :], (n_pad, cs, d_dir_pad)
+                                  ).reshape(n_pad * cs, d_dir_pad)
+
+        def plane(p, fill=0.0):
+            p = pad_rays(p.astype(f32), fill)
+            return p.reshape(n_pad, nC, cs).transpose(1, 0, 2)
+
+        stats = _fused_render_call(
+            ex, ed_rep, plane(t), plane(deltas), plane(mask.astype(f32)),
+            flat, n_layers, skip, density_activation, bR, cs, eps,
+            interpret)[:R]
+        trans_final = stats[:, 5]
+        rgb = stats[:, 0:3] + trans_final[:, None] * jnp.asarray(bkgd, f32)
+        return {"rgb": rgb, "opacity": stats[:, 3], "depth": stats[:, 4],
+                "trans_final": trans_final}
+
+    return render_fn

@@ -118,7 +118,14 @@ def sample_pdf(
     sample midpoints), `weights` the B coarse compositing weights. Deterministic
     (key=None) uses evenly spaced CDF quantiles.
 
-    Implemented with searchsorted + gather — O(S log B), static shapes.
+    TPU implementation note: the textbook searchsorted + 4x take_along_axis
+    formulation lowers to pathologically slow per-row batched gathers on TPU
+    (same issue as compact_samples below). Both `cdf` and `bins` are MONOTONE
+    along the bin axis, so the bracketing values are recovered with masked
+    max/min reductions over a [R, S, B+1] compare tensor instead — pure VPU
+    compare-select chains XLA fuses, no gather anywhere. Values are
+    bit-identical to the gather formulation (reductions select elements, they
+    never reassociate sums).
 
     Args:
       bins: [R, B+1]; weights: [R, B].
@@ -138,15 +145,16 @@ def sample_pdf(
     else:
         u = jax.random.uniform(key, (R, n_samples), maxval=1.0 - 1e-5)
 
-    # index of the CDF bin containing each u
-    inds = jax.vmap(lambda c, uu: jnp.searchsorted(c, uu, side="right"))(cdf, u)
-    below = jnp.clip(inds - 1, 0, B)
-    above = jnp.clip(inds, 0, B)
-
-    cdf_below = jnp.take_along_axis(cdf, below, axis=-1)
-    cdf_above = jnp.take_along_axis(cdf, above, axis=-1)
-    bin_below = jnp.take_along_axis(bins, below, axis=-1)
-    bin_above = jnp.take_along_axis(bins, above, axis=-1)
+    # le[r, s, j] <=> cdf[r, j] <= u[r, s]; row j=0 (cdf=0) is always True so
+    # the "below" set is never empty, and the "above" set falls back to the
+    # last bin when u exceeds the whole CDF (matches clip(inds, 0, B)).
+    le = cdf[:, None, :] <= u[:, :, None]                 # [R, S, B+1]
+    c = cdf[:, None, :]
+    b = bins[:, None, :]
+    cdf_below = jnp.max(jnp.where(le, c, 0.0), axis=-1)
+    cdf_above = jnp.min(jnp.where(le, c[..., -1:], c), axis=-1)
+    bin_below = jnp.max(jnp.where(le, b, b[..., :1]), axis=-1)
+    bin_above = jnp.min(jnp.where(le, b[..., -1:], b), axis=-1)
 
     denom = cdf_above - cdf_below
     denom = jnp.where(denom < 1e-5, 1.0, denom)

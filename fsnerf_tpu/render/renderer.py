@@ -57,6 +57,7 @@ def render_rays_occgrid(
     n_compact: int = 0,
     early_stop_eps: float = 1e-4,
     query_stride: int = 1,
+    fused_render_fn: Optional[Callable] = None,
 ) -> dict:
     """Occupancy-grid-masked dense rendering (reference render_rays semantics).
 
@@ -74,6 +75,11 @@ def render_rays_occgrid(
         this many samples (lossless for cells >= stride * step wide; compute
         with og.auto_query_stride from STATIC scene metadata). Must divide
         n_samples.
+      fused_render_fn: optional ops.pallas.render.make_fused_ray_renderer
+        result — runs MLP + compositing + exact early exit in one Pallas
+        kernel (forward-only: rendering, not training). When set, model_fn is
+        unused and the output dict contains only rgb/opacity/depth/
+        trans_final/n_valid.
 
     Returns:
       dict(rgb, opacity, depth, weights, trans_final, sigmas, t_vals, mask).
@@ -112,12 +118,16 @@ def render_rays_occgrid(
     if n_compact and n_compact < n_samples:
         t_mid, deltas, mask = compact_samples(t_mid, deltas, mask, n_compact)
         x = sample_points(rays_o, rays_d, t_mid)
+    bkgd_ = 1.0 if white_bkgd else 0.0
+    if fused_render_fn is not None:
+        out = fused_render_fn(x, rays_d, t_mid, deltas, mask, bkgd_)
+        out.update(n_valid=n_valid)
+        return out
     dirs = jnp.broadcast_to(rays_d[:, None, :], x.shape)
     # volume integration runs float32 regardless of the MLP compute dtype
     out4 = model_fn(x, dirs).astype(jnp.float32)             # [R, S, 4]
     rgbs, sigmas = out4[..., :3], out4[..., 3]
-    bkgd = 1.0 if white_bkgd else 0.0
-    out = volume_render(sigmas, rgbs, t_mid, deltas, mask, bkgd)
+    out = volume_render(sigmas, rgbs, t_mid, deltas, mask, bkgd_)
     out.update(sigmas=sigmas, t_vals=t_mid, mask=mask, n_valid=n_valid)
     return out
 
@@ -169,13 +179,13 @@ def render_rays_hierarchical(
 def _render_rays_dispatch(model_fn, rays_o, rays_d, key, white_bkgd, *,
                           strategy, grid, n_samples, n_fine, near, far,
                           render_step_size, n_compact=0, early_stop_eps=1e-4,
-                          query_stride=1):
+                          query_stride=1, fused_render_fn=None):
     if strategy == "occgrid":
         return render_rays_occgrid(
             model_fn, rays_o, rays_d, grid, n_samples,
             render_step_size=render_step_size, key=key, white_bkgd=white_bkgd,
             n_compact=n_compact, early_stop_eps=early_stop_eps,
-            query_stride=query_stride)
+            query_stride=query_stride, fused_render_fn=fused_render_fn)
     _, fine = render_rays_hierarchical(
         model_fn, rays_o, rays_d, near, far, n_samples, n_fine,
         key=key, white_bkgd=white_bkgd)
@@ -197,6 +207,7 @@ def make_chunk_renderer(
     early_stop_eps: float = 1e-4,
     query_stride: int = 1,
     mesh=None,
+    fused_render_fn: Optional[Callable] = None,
 ) -> Callable:
     """One JITTED (rays_o, rays_d) -> (rgb, depth) chunk renderer.
 
@@ -223,7 +234,7 @@ def make_chunk_renderer(
             strategy=strategy, grid=grid, n_samples=n_samples, n_fine=n_fine,
             near=near, far=far, render_step_size=render_step_size,
             n_compact=n_compact, early_stop_eps=early_stop_eps,
-            query_stride=query_stride)
+            query_stride=query_stride, fused_render_fn=fused_render_fn)
         return out["rgb"], out["depth"]
 
     return render_chunk
@@ -249,6 +260,7 @@ def render_frame(
     query_stride: int = 1,
     chunk_renderer: Optional[Callable] = None,
     mesh=None,
+    fused_render_fn: Optional[Callable] = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Render a full H x W frame from one pose (reference rendering.py:110-177).
 
@@ -293,7 +305,7 @@ def render_frame(
             n_fine=n_fine, render_step_size=render_step_size,
             white_bkgd=white_bkgd, near=near, far=far, n_compact=n_compact,
             early_stop_eps=early_stop_eps, query_stride=query_stride,
-            mesh=mesh)
+            mesh=mesh, fused_render_fn=fused_render_fn)
 
     imgs, depths = [], []
     for c in range(n_chunks):
@@ -333,7 +345,8 @@ def render_path(
     renderer_kwargs = {k: v for k, v in frame_kwargs.items()
                        if k in ("strategy", "grid", "n_samples", "n_fine",
                                 "render_step_size", "white_bkgd", "n_compact",
-                                "early_stop_eps", "query_stride", "mesh")}
+                                "early_stop_eps", "query_stride", "mesh",
+                                "fused_render_fn")}
     chunk_renderer = make_chunk_renderer(model_fn, near=near, far=far,
                                          **renderer_kwargs)
     frames, d_frames = [], []

@@ -174,3 +174,149 @@ def test_fused_train_model_fn_in_train_step():
         assert losses[-1] < losses[0]
     finally:
         mt.make_fused_train_model_fn = orig
+
+
+# ---------------------------------------------------------------------------
+# Fused volume-rendering kernel (ops/pallas/volrend.py)
+# ---------------------------------------------------------------------------
+
+def _volrend_inputs(R=96, S=48, seed=0, masked=True):
+    rng = np.random.default_rng(seed)
+    sigmas = jnp.asarray(rng.normal(0.0, 3.0, (R, S)), jnp.float32)  # raw head
+    rgbs = jnp.asarray(rng.uniform(0, 1, (R, S, 3)), jnp.float32)
+    t = jnp.asarray(np.sort(rng.uniform(2.0, 6.0, (R, S)), -1), jnp.float32)
+    deltas = jnp.asarray(rng.uniform(1e-3, 0.1, (R, S)), jnp.float32)
+    mask = None
+    if masked:
+        # mix of prefix-valid rays, all-masked rays, and random holes
+        mask = rng.uniform(size=(R, S)) > 0.3
+        mask[:4] = False                      # fully masked -> pure background
+        mask = jnp.asarray(mask)
+    return sigmas, rgbs, t, deltas, mask
+
+
+@pytest.mark.parametrize("masked,bkgd", [(True, 1.0), (False, 0.0),
+                                         (True, 0.0)])
+def test_volrend_kernel_matches_jnp(masked, bkgd):
+    from fsnerf_tpu.ops.pallas.volrend import volume_render_pallas
+    from fsnerf_tpu.ops.volrend import volume_render
+
+    sigmas, rgbs, t, deltas, mask = _volrend_inputs(masked=masked)
+    ref = volume_render(sigmas, rgbs, t, deltas, mask, bkgd)
+    got = volume_render_pallas(sigmas, rgbs, t, deltas, mask, bkgd,
+                               block_rows=32, interpret=True)
+    for k in ("rgb", "opacity", "depth", "weights", "trans_final"):
+        np.testing.assert_allclose(np.asarray(got[k]), np.asarray(ref[k]),
+                                   rtol=1e-5, atol=1e-6, err_msg=k)
+
+
+def test_volrend_kernel_row_padding():
+    """R not a multiple of block_rows pads internally and slices back."""
+    from fsnerf_tpu.ops.pallas.volrend import volume_render_pallas
+    from fsnerf_tpu.ops.volrend import volume_render
+
+    sigmas, rgbs, t, deltas, mask = _volrend_inputs(R=37, S=16, seed=3)
+    ref = volume_render(sigmas, rgbs, t, deltas, mask, 0.5)
+    got = volume_render_pallas(sigmas, rgbs, t, deltas, mask, 0.5,
+                               block_rows=32, interpret=True)
+    np.testing.assert_allclose(np.asarray(got["rgb"]),
+                               np.asarray(ref["rgb"]), rtol=1e-5, atol=1e-6)
+    assert got["weights"].shape == (37, 16)
+
+
+def test_volrend_kernel_vector_bkgd():
+    from fsnerf_tpu.ops.pallas.volrend import volume_render_pallas
+    from fsnerf_tpu.ops.volrend import volume_render
+
+    sigmas, rgbs, t, deltas, mask = _volrend_inputs(R=32, S=16, seed=4)
+    bkgd = jnp.asarray([0.2, 0.5, 0.9])
+    ref = volume_render(sigmas, rgbs, t, deltas, mask, bkgd)
+    got = volume_render_pallas(sigmas, rgbs, t, deltas, mask, bkgd,
+                               block_rows=32, interpret=True)
+    np.testing.assert_allclose(np.asarray(got["rgb"]),
+                               np.asarray(ref["rgb"]), rtol=1e-5, atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# Fused ray-march render kernel (ops/pallas/render.py)
+# ---------------------------------------------------------------------------
+
+def _render_setup():
+    from fsnerf_tpu.ops import occgrid as og
+
+    model = NeRF(n_layers=4, d_filter=64, skip=(2,), n_freqs=4,
+                 n_freqs_views=2, compute_dtype=jnp.bfloat16)
+    params = init_params(model, jax.random.key(2))
+    aabb = jnp.array([-1.5, -1.5, -1.5, 1.5, 1.5, 1.5])
+    grid = og.create(aabb, resolution=16, levels=1)
+    dens = lambda x: jnp.where(jnp.linalg.norm(x, axis=-1) < 1.2, 30.0, 0.0)
+    grid = og.update(grid, dens, None, jnp.asarray(0))
+    rng = np.random.default_rng(0)
+    # rays from a shell aimed roughly at the origin
+    ro = rng.normal(size=(48, 3))
+    ro = 4.0 * ro / np.linalg.norm(ro, axis=-1, keepdims=True)
+    rd = -ro / 4.0 + 0.1 * rng.normal(size=(48, 3))
+    rd = rd / np.linalg.norm(rd, axis=-1, keepdims=True)
+    return model, params, grid, jnp.asarray(ro, jnp.float32), \
+        jnp.asarray(rd, jnp.float32)
+
+
+def test_fused_render_matches_xla_path():
+    from fsnerf_tpu.ops.pallas.render import make_fused_ray_renderer
+    from fsnerf_tpu.render.renderer import render_rays_occgrid
+
+    model, params, grid, ro, rd = _render_setup()
+    kw = dict(n_samples=64, render_step_size=0.05, white_bkgd=True,
+              n_compact=32, early_stop_eps=1e-4)
+    ref = render_rays_occgrid(lambda x, d=None: model.apply(params, x, d),
+                              ro, rd, grid, **kw)
+    fused = make_fused_ray_renderer(params, n_layers=4, skip=(2,), n_freqs=4,
+                                    n_freqs_views=2, early_stop_eps=1e-4,
+                                    block_rows=16, chunk_s=8, interpret=True)
+    got = render_rays_occgrid(None, ro, rd, grid, fused_render_fn=fused, **kw)
+    np.testing.assert_allclose(np.asarray(got["rgb"]),
+                               np.asarray(ref["rgb"]), atol=7e-3)
+    np.testing.assert_allclose(np.asarray(got["depth"]),
+                               np.asarray(ref["depth"]), atol=3e-2)
+    np.testing.assert_allclose(np.asarray(got["opacity"]),
+                               np.asarray(ref["opacity"]), atol=7e-3)
+    np.testing.assert_allclose(np.asarray(got["n_valid"]),
+                               np.asarray(ref["n_valid"]))
+
+
+def test_fused_render_early_exit_is_lossless():
+    """Exact-transmittance chunk skipping must not change the image beyond
+    the eps cutoff's own contribution bound."""
+    from fsnerf_tpu.ops.pallas.render import make_fused_ray_renderer
+    from fsnerf_tpu.render.renderer import render_rays_occgrid
+
+    model, params, grid, ro, rd = _render_setup()
+    kw = dict(n_samples=64, render_step_size=0.05, white_bkgd=True,
+              n_compact=32, early_stop_eps=0.0)   # no approximate pre-mask
+    mk = lambda eps: make_fused_ray_renderer(
+        params, n_layers=4, skip=(2,), n_freqs=4, n_freqs_views=2,
+        early_stop_eps=eps, block_rows=16, chunk_s=8, interpret=True)
+    a = render_rays_occgrid(None, ro, rd, grid, fused_render_fn=mk(0.0), **kw)
+    b = render_rays_occgrid(None, ro, rd, grid, fused_render_fn=mk(1e-3),
+                            **kw)
+    np.testing.assert_allclose(np.asarray(a["rgb"]), np.asarray(b["rgb"]),
+                               atol=2e-3)
+
+
+def test_fused_render_in_render_frame():
+    """End-to-end frame assembly through the fused kernel path."""
+    from fsnerf_tpu.ops.pallas.render import make_fused_ray_renderer
+    from fsnerf_tpu.render.renderer import render_frame
+    from fsnerf_tpu.data.poses import pose_from_spherical
+
+    model, params, grid, _, _ = _render_setup()
+    fused = make_fused_ray_renderer(params, n_layers=4, skip=(2,), n_freqs=4,
+                                    n_freqs_views=2, block_rows=16,
+                                    chunk_s=8, interpret=True)
+    pose = jnp.asarray(pose_from_spherical(4.0, 45.0, 30.0))
+    img, depth = render_frame(
+        lambda x, d=None: model.apply(params, x, d), pose, (8, 8, 8.0),
+        2.0, 6.0, grid=grid, n_samples=48, n_compact=24, white_bkgd=True,
+        chunksize=32, fused_render_fn=fused)
+    assert img.shape == (8, 8, 3)
+    assert np.isfinite(np.asarray(img)).all()

@@ -144,15 +144,19 @@ def test_flagship_shapes_parallel_compile():
     pool = pool_from_images(scene.imgs, scene.poses, scene.hwf)
     optimizer = make_optimizer(cfg)
     mesh = make_mesh(8)
-    state = replicate(
-        init_state(model, cfg, optimizer, scene.aabb, jax.random.key(0)),
-        mesh)
+    state = init_state(model, cfg, optimizer, scene.aabb, jax.random.key(0))
+    # start at step 1: the res-128 grid-update branch still COMPILES inside
+    # lax.cond (the sharding-rank coverage this test exists for) but does not
+    # EXECUTE — running 128^3 cells through the 8x256 MLP on the single-core
+    # CPU backend takes tens of minutes and validates nothing extra.
+    state = state.replace(step=jnp.ones((), jnp.int32))
+    state = replicate(state, mesh)
     step_fn = make_parallel_train_step(model, cfg, optimizer, pool, scene,
                                        mesh)
     state, metrics = step_fn(state)
     m = jax.device_get(metrics)
     assert np.isfinite(m["loss"])
-    assert int(state.step) == 1
+    assert int(state.step) == 2
 
 
 def test_cli_parallel_mesh_end_to_end(tmp_path, monkeypatch):
