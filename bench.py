@@ -103,6 +103,10 @@ def main():
         state, metrics = chunk_fn(state)
         if compactor.observe(float(jax.device_get(metrics["n_valid_mean"]))):
             chunk_fn = build_chunk(compactor.apply(cfg))
+    # one extra untimed chunk: if the controller re-laddered on the LAST warm
+    # observation, the settled-K executable hasn't compiled yet — its first
+    # call must not land inside the timed window
+    state, metrics = chunk_fn(state)
     jax.block_until_ready(metrics)
     k_settled = compactor.k
 

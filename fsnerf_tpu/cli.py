@@ -64,10 +64,10 @@ def make_render_model_fn(model, params, cfg, step=None):
     annealing completes (step >= freq_reg_end) the mask is identity, so final
     eval/path renders may pass step=None.
     """
-    from fsnerf_tpu.train.step import make_masks
+    from fsnerf_tpu.train.step import make_masks, resolve_fused_kernel
     pos_mask, dir_mask = (None, None) if step is None else \
         make_masks(cfg, step)
-    if cfg.model.fused_kernel and cfg.model.model == "nerf":
+    if resolve_fused_kernel(cfg):
         from fsnerf_tpu.ops.pallas.mlp import make_fused_model_fn
         return make_fused_model_fn(
             params, n_layers=cfg.model.n_layers,

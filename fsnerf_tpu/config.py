@@ -47,13 +47,20 @@ class ModelConfig:
     # emits raw (unactivated) sigma (models.py:105,127); SiNeRF applies ReLU
     # (models.py:273-277). 'none' reproduces reference NeRF.
     density_activation: str = "none"  # none | relu | trunc_exp
-    # Use the fused Pallas MLP kernel (ops/pallas/mlp.py) for inference
-    # rendering paths (eval / path video). NeRF model only.
-    fused_kernel: bool = False
+    # Use the fused Pallas MLP kernels for training (custom-VJP,
+    # ops/pallas/mlp_train.py) and inference (ops/pallas/mlp.py).
+    # None = auto: ON when running on an accelerator backend with a plain
+    # NeRF (raw sigma head) — measured ~10% faster training on v5e at equal
+    # quality (3-seed study + A/B, BASELINE.md) — OFF on the CPU backend
+    # where Mosaic kernels cannot compile. --no_fused_kernel forces off.
+    fused_kernel: Optional[bool] = None
     # Use the fused ray-march render kernel (ops/pallas/render.py: MLP +
     # compositing + exact early exit in one kernel) for eval/video rendering.
-    # NeRF model, occgrid strategy, single-chip only.
-    fused_render: bool = False
+    # Applies to NeRF model + occgrid strategy + single-chip (silently falls
+    # back to the XLA pipeline otherwise). Measured ~10% faster than the XLA
+    # render path on v5e and equivalence-tested; disable with
+    # --no_fused_render.
+    fused_render: bool = True
 
 
 @dataclass(frozen=True)
@@ -248,11 +255,16 @@ def config_parser() -> argparse.ArgumentParser:
                    help="Comma-separated skip-connection layer indices")
     g.add_argument("--density_activation", choices=["none", "relu", "trunc_exp"],
                    default="none")
-    g.add_argument("--fused_kernel", action="store_true",
-                   help="Fused Pallas MLP for inference rendering (nerf only)")
-    g.add_argument("--fused_render", action="store_true",
-                   help="Fused MLP+composite+early-exit render kernel for "
-                        "eval/video (nerf, occgrid, single-chip)")
+    g.add_argument("--fused_kernel", action="store_true", default=None,
+                   help="Force the fused Pallas MLP train/inference kernels "
+                        "on (default: auto — on for accelerator backends "
+                        "with a plain NeRF)")
+    g.add_argument("--no_fused_kernel", action="store_true",
+                   help="Force the fused Pallas MLP kernels off")
+    g.add_argument("--no_fused_render", action="store_true",
+                   help="Disable the fused MLP+composite+early-exit render "
+                        "kernel for eval/video (on by default for nerf + "
+                        "occgrid + single-chip)")
 
     g = p.add_argument_group("data")
     g.add_argument("--dataset", choices=["synthetic", "llff", "sphere"],
@@ -339,7 +351,6 @@ _FLAG_MAP = {
     "n_layers": ("model", "n_layers"),
     "density_activation": ("model", "density_activation"),
     "fused_kernel": ("model", "fused_kernel"),
-    "fused_render": ("model", "fused_render"),
     "dataset": ("data", "dataset"),
     "scene": ("data", "scene"),
     "n_imgs": ("data", "n_imgs"),
@@ -418,6 +429,11 @@ def config_from_args(argv=None) -> Config:
     if use_all or "no_adapt_compact" in explicit:
         overrides.setdefault("sampling", {})["adapt_compact"] = \
             not args.no_adapt_compact
+    if use_all or "no_fused_render" in explicit:
+        overrides.setdefault("model", {})["fused_render"] = \
+            not args.no_fused_render
+    if args.no_fused_kernel:
+        overrides.setdefault("model", {})["fused_kernel"] = False
 
     # grid_levels has no CLI flag; derive from the dataset type
     # (run-nerf.py:92-93) unless the YAML pins it explicitly.
