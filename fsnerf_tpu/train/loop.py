@@ -34,7 +34,10 @@ class CompactionController:
     count drops far below the configured ceiling (e.g. mean ~ 69 vs K = 192
     on the solid-sphere scene), leaving most of the MLP batch masked padding.
     This controller tracks the n_valid_mean train metric and proposes the
-    smallest ladder value (multiples of 16) with a 1.25x margin above it; the
+    smallest ladder value (multiples of 16) covering margin x the mean
+    (SamplingConfig.compact_margin, default 1.0 — the ceil-to-16 step gives
+    +8 average headroom and overflow rays fall back to an unbiased coarser
+    quadrature); the
     train loop swaps in a step recompiled at the new K (the persistent
     compilation cache makes repeat swaps free). Growth on rising need is
     immediate; shrinking waits for `patience` consecutive observations to
@@ -51,13 +54,17 @@ class CompactionController:
 
     STEP = 16
 
-    def __init__(self, cfg, margin: float = 1.25, patience: int = 2):
+    def __init__(self, cfg, margin: Optional[float] = None,
+                 patience: int = 2):
         s = cfg.sampling
         self.k_max = int(s.n_compact) if s.n_compact else 0
         self.enabled = bool(s.adapt_compact and s.strategy == "occgrid"
                             and self.k_max > self.STEP)
         self.k = self.k_max
-        self.margin = margin
+        # margin 1.0 measured quality-equal to 1.25 (3k-step held-out A/B:
+        # effects ~0.1 dB vs ~1.7 dB seed noise) and ~16% faster steady-state
+        self.margin = float(getattr(s, "compact_margin", 1.0)
+                            if margin is None else margin)
         self.patience = patience
         self._below = 0
 
