@@ -237,3 +237,40 @@ def compact_samples(
     _, t_k, d_k, m_k = jax.lax.sort(
         (key, t_mid, deltas, mask), dimension=-1, is_stable=True, num_keys=1)
     return t_k[:, :k], d_k[:, :k], m_k[:, :k]
+
+
+def compact_samples_uniform(
+    t_mid: jax.Array,
+    dt: jax.Array,
+    mask: jax.Array,
+    k: int,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """compact_samples specialized to UNIFORM per-ray spacing (the occgrid
+    lattice: uniform_samples emits deltas = broadcast(dt)).
+
+    Equal results to compact_samples(t, broadcast(dt), mask, k, spread=True),
+    but the payload sort carries only (key, t): the compacted deltas are the
+    per-ray scalar dt * spread-scale re-broadcast, and the compacted mask is
+    a prefix predicate (rank < n_kept) — neither needs to ride the sort.
+    Halves the dominant multi-operand sort cost.
+
+    Args:
+      t_mid: [R, S]; dt: [R] per-ray spacing; mask: [R, S] bool.
+
+    Returns:
+      (t_k [R, k], deltas_k [R, k], mask_k [R, k]).
+    """
+    nv = jnp.sum(mask, axis=-1, keepdims=True)                # [R, 1]
+    nv_safe = jnp.maximum(nv, 1)
+    rank = jnp.cumsum(mask, axis=-1) - 1
+    keep = mask & ((rank * k) // nv_safe > ((rank - 1) * k) // nv_safe)
+    scale = jnp.maximum(nv.astype(t_mid.dtype) / k, 1.0)      # [R, 1]
+    n_kept = jnp.minimum(nv, k)                               # [R, 1]
+
+    key = jnp.logical_not(keep)
+    _, t_k = jax.lax.sort((key, t_mid), dimension=-1, is_stable=True,
+                          num_keys=1)
+    t_k = t_k[:, :k]
+    mask_k = jax.lax.broadcasted_iota(jnp.int32, (1, k), 1) < n_kept
+    deltas_k = jnp.broadcast_to(dt[:, None] * scale, t_k.shape)
+    return t_k, deltas_k, mask_k

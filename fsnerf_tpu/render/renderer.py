@@ -31,7 +31,7 @@ import numpy as np
 from fsnerf_tpu.data.rays import get_rays, to_ndc
 from fsnerf_tpu.ops import occgrid as og
 from fsnerf_tpu.ops.sampling import (
-    compact_samples,
+    compact_samples_uniform,
     hierarchical_samples,
     sample_points,
     stratified_samples,
@@ -116,7 +116,10 @@ def render_rays_occgrid(
     # many samples each ray NEEDS, independent of the K it is squeezed into)
     n_valid = jnp.sum(mask.astype(jnp.float32), axis=-1)     # [R]
     if n_compact and n_compact < n_samples:
-        t_mid, deltas, mask = compact_samples(t_mid, deltas, mask, n_compact)
+        # uniform_samples emits per-ray-constant deltas, so the specialized
+        # compaction (2-operand sort instead of 4) applies
+        t_mid, deltas, mask = compact_samples_uniform(
+            t_mid, deltas[:, 0], mask, n_compact)
         x = sample_points(rays_o, rays_d, t_mid)
     bkgd_ = 1.0 if white_bkgd else 0.0
     if fused_render_fn is not None:

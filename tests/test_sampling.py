@@ -202,3 +202,29 @@ def test_compacted_render_matches_dense():
                                np.asarray(dense["depth"]), atol=1e-5)
     np.testing.assert_allclose(np.asarray(compact["opacity"]),
                                np.asarray(dense["opacity"]), atol=1e-5)
+
+
+def test_compact_samples_uniform_matches_generic():
+    """The 2-operand specialized compaction must equal the generic 4-operand
+    payload sort when deltas are per-ray constant (the occgrid lattice)."""
+    from fsnerf_tpu.ops.sampling import compact_samples, compact_samples_uniform
+
+    rng = np.random.default_rng(5)
+    R, S, K = 64, 96, 24
+    t = jnp.asarray(np.sort(rng.uniform(0, 6, (R, S)), -1), jnp.float32)
+    dt = jnp.asarray(rng.uniform(1e-3, 0.1, (R,)), jnp.float32)
+    deltas = jnp.broadcast_to(dt[:, None], (R, S))
+    mask = rng.uniform(size=(R, S)) > 0.6
+    mask[0] = False                      # all-masked ray
+    mask[1] = True                       # nv >> K: spread path
+    mask[2, :K // 2] = True              # nv < K prefix
+    mask = jnp.asarray(mask)
+
+    t_a, d_a, m_a = compact_samples(t, deltas, mask, K)
+    t_b, d_b, m_b = compact_samples_uniform(t, dt, mask, K)
+    np.testing.assert_array_equal(np.asarray(m_a), np.asarray(m_b))
+    # garbage beyond n_kept is masked; compare only where valid
+    mm = np.asarray(m_a)
+    np.testing.assert_allclose(np.asarray(t_a)[mm], np.asarray(t_b)[mm])
+    np.testing.assert_allclose(np.asarray(d_a)[mm], np.asarray(d_b)[mm],
+                               rtol=1e-6)
