@@ -268,3 +268,133 @@ def make_fused_model_fn(
         return out.reshape(*shape, 4)
 
     return model_fn
+
+
+# ---------------------------------------------------------------------------
+# Density-only kernel (trunk + sigma head — the occupancy-grid refresh path)
+# ---------------------------------------------------------------------------
+
+def _density_kernel_body(n_layers, skip, density_activation, *refs):
+    """refs = (encx, *trunk-and-sigma weights, out)."""
+    it = iter(refs)
+    encx_ref = next(it)
+    trunk = []
+    for i in range(n_layers):
+        if i > 0 and (i - 1) in skip:
+            trunk.append((next(it), next(it), next(it)))
+        else:
+            trunk.append((next(it), next(it)))
+    w_sigma, b_sigma = next(it), next(it)
+    out_ref = next(it)
+
+    f32 = jnp.float32
+    encx = encx_ref[:]
+    h = None
+    for i, layer in enumerate(trunk):
+        if len(layer) == 3:
+            w_h, w_e, b = layer
+            y = (jnp.dot(h, w_h[:], preferred_element_type=f32)
+                 + jnp.dot(encx, w_e[:], preferred_element_type=f32))
+        elif i == 0:
+            w, b = layer
+            y = jnp.dot(encx, w[:], preferred_element_type=f32)
+        else:
+            w, b = layer
+            y = jnp.dot(h, w[:], preferred_element_type=f32)
+        h = jnp.maximum(y + b[:].astype(f32), 0.0).astype(jnp.bfloat16)
+
+    sigma = (jnp.dot(h, w_sigma[:], preferred_element_type=f32)
+             + b_sigma[:].astype(f32))
+    if density_activation == "relu":
+        sigma = jnp.maximum(sigma, 0.0)
+    elif density_activation == "trunc_exp":
+        sigma = jnp.exp(jnp.clip(sigma, -15.0, 15.0))
+    out_ref[:] = sigma[:, 0:1]
+
+
+@functools.partial(jax.jit, static_argnames=("n_layers", "skip",
+                                             "density_activation",
+                                             "block_rows", "interpret"))
+def _density_call(encx, flat_weights, n_layers, skip, density_activation,
+                  block_rows, interpret=False):
+    n = encx.shape[0]
+    kernel = functools.partial(_density_kernel_body, n_layers, skip,
+                               density_activation)
+    return pl.pallas_call(
+        kernel,
+        grid=(n // block_rows,),
+        in_specs=[
+            pl.BlockSpec((block_rows, encx.shape[1]), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            *[pl.BlockSpec(memory_space=pltpu.VMEM) for _ in flat_weights],
+        ],
+        out_specs=pl.BlockSpec((block_rows, 1), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, 1), jnp.float32),
+        interpret=interpret,
+    )(encx, *flat_weights)
+
+
+def _flatten_density(prepped) -> list:
+    flat = []
+    for i, layer in enumerate(prepped["trunk_w"]):
+        if isinstance(layer, tuple):
+            flat.extend([layer[0], layer[1], prepped["trunk_b"][i]])
+        else:
+            flat.extend([layer, prepped["trunk_b"][i]])
+    flat.extend([prepped["w_sigma"], prepped["b_sigma"]])
+    return flat
+
+
+def fused_density(
+    prepped: dict,
+    encx: jax.Array,
+    density_activation: str = "none",
+    block_rows: int = 2048,
+    interpret: bool = False,
+) -> jax.Array:
+    """Density-only fused MLP (trunk + sigma head, no view branch).
+
+    Matches the occupancy-grid EMA refresh workload (og.update's density_fn;
+    reference run-nerf.py:288-289 occ_eval_fn). MEASURED NOT A WIN for that
+    path on v5e: wiring it into maybe_update_grid ran the full train step ~4%
+    slower than the XLA density pass (forward-only workloads pipeline better
+    through XLA — same result as the round-1 fused inference kernel). Kept as
+    tested infrastructure for future in-kernel fusion of refresh + binarize.
+
+    Returns [N] raw/activated sigma.
+    """
+    n = encx.shape[0]
+    n_pad = _round_up(max(n, block_rows), block_rows)
+    ex = jnp.zeros((n_pad, prepped["d_enc_pad"]), jnp.bfloat16)
+    ex = ex.at[:n, : encx.shape[1]].set(encx.astype(jnp.bfloat16))
+    out = _density_call(ex, tuple(_flatten_density(prepped)),
+                        prepped["n_layers"], prepped["skip"],
+                        density_activation, block_rows, interpret)
+    return out[:n, 0]
+
+
+def make_fused_density_fn(
+    params: dict,
+    n_layers: int = 8,
+    skip: Tuple[int, ...] = (4,),
+    n_freqs: int = 10,
+    log_space: bool = True,
+    density_activation: str = "none",
+    interpret: bool = False,
+    pos_mask=None,
+):
+    """Drop-in density_fn(x [N,3]) -> [N] sigma for og.update."""
+    from fsnerf_tpu.core.encoding import positional_encoding
+
+    prepped = prep_params(params, n_layers=n_layers, skip=skip)
+
+    def density_fn(x):
+        shape = x.shape[:-1]
+        encx = positional_encoding(x.reshape(-1, 3), n_freqs, log_space,
+                                   pos_mask)
+        return fused_density(prepped, encx,
+                             density_activation=density_activation,
+                             interpret=interpret).reshape(shape)
+
+    return density_fn

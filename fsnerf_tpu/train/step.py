@@ -155,6 +155,11 @@ def maybe_update_grid(model, cfg, params, grid, step, k_grid):
         return grid
     pos_mask, _ = make_masks(cfg, step)
 
+    # NOTE: deliberately the XLA path even when the fused train kernel is on:
+    # an A/B with ops/pallas/mlp.py::make_fused_density_fn measured the
+    # Pallas density kernel ~4% SLOWER end-to-end (267k -> 255k rays/s at
+    # K=64) — forward-only workloads pipeline better through XLA, the same
+    # result as the round-1 fused inference kernel (docs/ROADMAP.md).
     def density_fn(x):
         return model.apply(params, x, pos_mask=pos_mask)[..., 0]
 

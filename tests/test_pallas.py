@@ -320,3 +320,39 @@ def test_fused_render_in_render_frame():
         chunksize=32, fused_render_fn=fused)
     assert img.shape == (8, 8, 3)
     assert np.isfinite(np.asarray(img)).all()
+
+
+def test_fused_density_matches_model(small_setup):
+    """Density-only kernel (occupancy-refresh path) == model.apply sigma."""
+    from fsnerf_tpu.ops.pallas.mlp import fused_density
+
+    model, params = small_setup
+    x, _ = _inputs(200, seed=3)
+    ref = np.asarray(model.apply(params, x), np.float32)[:, 0]
+    prepped = prep_params(params, n_layers=4, skip=(2,))
+    encx = positional_encoding(x, 4, True)
+    got = np.asarray(fused_density(prepped, encx, block_rows=64,
+                                   interpret=True))
+    scale = np.abs(ref).max() + 1e-9
+    np.testing.assert_allclose(got / scale, ref / scale, atol=2e-2)
+
+
+def test_fused_density_fn_in_grid_update(small_setup):
+    """make_fused_density_fn drives og.update like the model path."""
+    from fsnerf_tpu.ops import occgrid as og
+    from fsnerf_tpu.ops.pallas.mlp import make_fused_density_fn
+
+    model, params = small_setup
+    aabb = jnp.array([-1.5, -1.5, -1.5, 1.5, 1.5, 1.5])
+    g0 = og.create(aabb, resolution=8, levels=1)
+    f_fused = make_fused_density_fn(params, n_layers=4, skip=(2,), n_freqs=4,
+                                    interpret=True)
+    f_model = lambda x: model.apply(params, x)[..., 0]
+    ga = og.update(g0, f_fused, None, jnp.asarray(0))
+    gb = og.update(g0, f_model, None, jnp.asarray(0))
+    # bf16 kernel vs bf16 XLA: EMA values match to bf16 rounding, and the
+    # binarization agrees except for cells straddling the threshold
+    np.testing.assert_allclose(np.asarray(ga.occs), np.asarray(gb.occs),
+                               rtol=0.1, atol=1e-3)
+    agree = (np.asarray(ga.binaries) == np.asarray(gb.binaries)).mean()
+    assert agree > 0.98, agree
