@@ -123,7 +123,18 @@ def render_rays_occgrid(
         x = sample_points(rays_o, rays_d, t_mid)
     bkgd_ = 1.0 if white_bkgd else 0.0
     if fused_render_fn is not None:
-        out = fused_render_fn(x, rays_d, t_mid, deltas, mask, bkgd_)
+        # depth-coherence sort: the fused kernel skips GEMMs per
+        # (ray_block x sample_chunk) when no ray in the block needs it;
+        # grouping rays by valid-sample count makes blocks uniformly
+        # shallow/deep, so background blocks skip everything and shallow
+        # blocks exit early — nerfacc's per-ray termination at block
+        # granularity. Whole-row gathers by a permutation are the fast
+        # TPU pattern (CLAUDE.md); outputs un-permute by the inverse.
+        perm = jnp.argsort(n_valid)                      # [R] ascending
+        inv = jnp.argsort(perm)
+        out = fused_render_fn(x[perm], rays_d[perm], t_mid[perm],
+                              deltas[perm], mask[perm], bkgd_)
+        out = {k: v[inv] for k, v in out.items()}
         out.update(n_valid=n_valid)
         return out
     dirs = jnp.broadcast_to(rays_d[:, None, :], x.shape)
