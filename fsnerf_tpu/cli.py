@@ -67,7 +67,7 @@ def make_render_model_fn(model, params, cfg, step=None):
     from fsnerf_tpu.train.step import make_masks, resolve_fused_kernel
     pos_mask, dir_mask = (None, None) if step is None else \
         make_masks(cfg, step)
-    if resolve_fused_kernel(cfg):
+    if resolve_fused_kernel(cfg) and cfg.model.model == "nerf":
         from fsnerf_tpu.ops.pallas.mlp import make_fused_model_fn
         return make_fused_model_fn(
             params, n_layers=cfg.model.n_layers,

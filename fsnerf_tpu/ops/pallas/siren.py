@@ -1,0 +1,289 @@
+"""Trainable fused SiNeRF (SIREN) MLP: custom-VJP Pallas kernels.
+
+The SiNeRF counterpart of ops/pallas/mlp_train.py (reference SiNeRF at
+models.py:237-309): an 8-layer sine trunk h_i = sin(a_i * (h W + b)) with
+per-layer frequency a = (30, 1, ..., 1), a two-layer density head
+(sine 256->128, linear 128->1 + ReLU), and a color head that concatenates
+RAW view directions (models.py:304) — realized as a split GEMM
+(feat @ W_f + dirs @ W_d), no lane concat.
+
+Precision: every GEMM accumulates f32 on the MXU from bf16 operands and the
+sine argument stays f32 (SIREN phase precision; core/models.py:185-193 does
+the same) — activations are consumed bf16 by the next GEMM.
+
+Backward recomputes the forward per row-block in VMEM, keeping the
+PRE-activation y_i (f32) alive for the sine derivative (block_rows 256:
+the 8-layer f32 y-list + f32 grad accumulators + temps exceed the 16 MB
+VMEM at 512 rows)
+d sin(a y) = a cos(a y) — unlike ReLU, the sign of cos is not recoverable
+from the activation, so y itself is what's held. Weight/bias grads
+accumulate across grid steps in VMEM-resident outputs (constant index map),
+as in the NeRF train kernel.
+
+Equivalence (values and grads) vs core.models.SiNeRF is tested in
+tests/test_pallas.py.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from fsnerf_tpu.ops.pallas.mlp import _round_up
+from fsnerf_tpu.ops.pallas.mlp_train import _dotT_a, _dot_bT
+
+
+def siren_weight_names(n_layers: int):
+    names = []
+    for i in range(n_layers):
+        names += [f"t{i}", f"b{i}"]
+    names += ["ws0", "bs0", "ws1", "bs1", "wf", "bf",
+              "wr0f", "wr0d", "br0", "wr1", "br1"]
+    return names
+
+
+def prep_siren_params(params: dict, n_layers: int = 8,
+                      compute_dtype=jnp.bfloat16) -> dict:
+    """Flatten SiNeRF flax params into padded bf16 kernel operands."""
+    p = params["params"]
+    cd = compute_dtype
+    d_in = p["first_0"]["kernel"].shape[0]            # 3 (raw coords)
+    d_in_pad = _round_up(d_in, 16)
+
+    def pad_rows(w, rows):
+        return jnp.zeros((rows, w.shape[1]), cd).at[: w.shape[0]].set(
+            w.astype(cd))
+
+    def pad_cols(w, cols):
+        return jnp.zeros((w.shape[0], cols), cd).at[:, : w.shape[1]].set(
+            w.astype(cd))
+
+    out = {"d_in": d_in, "d_in_pad": d_in_pad, "n_layers": n_layers}
+    out["t0"] = pad_rows(p["first_0"]["kernel"], d_in_pad)
+    out["b0"] = p["first_0"]["bias"].astype(jnp.float32)[None, :]
+    for i in range(1, n_layers):
+        out[f"t{i}"] = p[f"first_{i}"]["kernel"].astype(cd)
+        out[f"b{i}"] = p[f"first_{i}"]["bias"].astype(jnp.float32)[None, :]
+
+    w = p["fc_feature"]["kernel"].shape[0]            # width
+    out["ws0"] = p["sigma_0"]["kernel"].astype(cd)
+    out["bs0"] = p["sigma_0"]["bias"].astype(jnp.float32)[None, :]
+    out["ws1"] = pad_cols(p["sigma_1"]["kernel"], 128)
+    out["bs1"] = pad_cols(p["sigma_1"]["bias"][None, :].astype(jnp.float32),
+                          128).astype(jnp.float32)
+    out["wf"] = p["fc_feature"]["kernel"].astype(cd)
+    out["bf"] = p["fc_feature"]["bias"].astype(jnp.float32)[None, :]
+    wr0 = p["rgb_0"]["kernel"]
+    out["wr0f"] = wr0[:w].astype(cd)
+    out["wr0d"] = pad_rows(wr0[w:], d_in_pad)
+    out["br0"] = p["rgb_0"]["bias"].astype(jnp.float32)[None, :]
+    out["wr1"] = pad_cols(p["rgb_1"]["kernel"], 128)
+    out["br1"] = pad_cols(p["rgb_1"]["bias"][None, :].astype(jnp.float32),
+                          128).astype(jnp.float32)
+    return out
+
+
+def _flat_siren(prepped, n_layers):
+    return [prepped[n] for n in siren_weight_names(n_layers)]
+
+
+def _fwd_siren(x, d, ws, n_layers, alphas, save=False):
+    """Shared forward math; x/d are padded bf16 inputs.
+
+    Returns (rgb [bN, 128] lanes 0..2, sigma [bN, 128] lane 0, saved)."""
+    f32 = jnp.float32
+    bf16 = jnp.bfloat16
+    sv = {"y": []}
+    h = x
+    for i in range(n_layers):
+        y = (jnp.dot(h, ws[f"t{i}"], preferred_element_type=f32)
+             + ws[f"b{i}"])
+        if save:
+            sv["y"].append(y)
+        h = jnp.sin(alphas[i] * y).astype(bf16)
+    if save:
+        sv["h_last"] = h
+
+    ys = jnp.dot(h, ws["ws0"], preferred_element_type=f32) + ws["bs0"]
+    s_s = jnp.sin(ys).astype(bf16)
+    sigma_pre = (jnp.dot(s_s, ws["ws1"], preferred_element_type=f32)
+                 + ws["bs1"])
+    sigma = jnp.maximum(sigma_pre, 0.0)
+
+    feat = (jnp.dot(h, ws["wf"], preferred_element_type=f32)
+            + ws["bf"]).astype(bf16)
+    yr = (jnp.dot(feat, ws["wr0f"], preferred_element_type=f32)
+          + jnp.dot(d, ws["wr0d"], preferred_element_type=f32) + ws["br0"])
+    s_r = jnp.sin(yr).astype(bf16)
+    rgb = jax.nn.sigmoid(
+        jnp.dot(s_r, ws["wr1"], preferred_element_type=f32) + ws["br1"])
+    if save:
+        sv.update(ys=ys, s_s=s_s, sigma_pre=sigma_pre, feat=feat, yr=yr,
+                  s_r=s_r, rgb=rgb)
+    return rgb, sigma, sv
+
+
+def _fwd_kernel(n_layers, alphas, names, *refs):
+    x_ref, d_ref = refs[0], refs[1]
+    ws = {n: refs[2 + i][:] for i, n in enumerate(names)}
+    out_ref = refs[2 + len(names)]
+    rgb, sigma, _ = _fwd_siren(x_ref[:], d_ref[:], ws, n_layers, alphas)
+    out_ref[:, 0:3] = rgb[:, 0:3]
+    out_ref[:, 3:4] = sigma[:, 0:1]
+
+
+def _bwd_kernel(n_layers, alphas, names, *refs):
+    x_ref, d_ref, dout_ref = refs[0], refs[1], refs[2]
+    ws = {n: refs[3 + i][:] for i, n in enumerate(names)}
+    douts = {n: refs[3 + len(names) + i] for i, n in enumerate(names)}
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        for n in names:
+            douts[n][:] = jnp.zeros_like(douts[n])
+
+    f32 = jnp.float32
+    bf16 = jnp.bfloat16
+    x = x_ref[:]
+    d = d_ref[:]
+    _, _, sv = _fwd_siren(x, d, ws, n_layers, alphas, save=True)
+
+    dout = dout_ref[:]                                # [bN, 128] f32
+    lane = jax.lax.broadcasted_iota(jnp.int32, dout.shape, 1)
+
+    # rgb head: sigmoid' in lanes 0..2
+    rgb = sv["rgb"]
+    drgb_pre = jnp.where(lane < 3, dout * rgb * (1.0 - rgb), 0.0)
+    douts["wr1"][:] += _dotT_a(sv["s_r"], drgb_pre.astype(bf16))
+    douts["br1"][:] += jnp.sum(drgb_pre, axis=0, keepdims=True)
+    dyr = _dot_bT(drgb_pre.astype(bf16), ws["wr1"]) * jnp.cos(sv["yr"])
+    douts["wr0f"][:] += _dotT_a(sv["feat"], dyr.astype(bf16))
+    douts["wr0d"][:] += _dotT_a(d, dyr.astype(bf16))
+    douts["br0"][:] += jnp.sum(dyr, axis=0, keepdims=True)
+
+    dfeat = _dot_bT(dyr.astype(bf16), ws["wr0f"])
+    h_last = sv["h_last"]
+    douts["wf"][:] += _dotT_a(h_last, dfeat.astype(bf16))
+    douts["bf"][:] += jnp.sum(dfeat, axis=0, keepdims=True)
+    dh = _dot_bT(dfeat.astype(bf16), ws["wf"])
+
+    # sigma head: relu' then the sine layer (move d sigma lane 3 -> lane 0)
+    dsig = jnp.where(lane == 0, pltpu.roll(dout, dout.shape[1] - 3, 1), 0.0)
+    dsig = jnp.where(sv["sigma_pre"] > 0.0, dsig, 0.0)
+    douts["ws1"][:] += _dotT_a(sv["s_s"], dsig.astype(bf16))
+    douts["bs1"][:] += jnp.sum(dsig, axis=0, keepdims=True)
+    dys = _dot_bT(dsig.astype(bf16), ws["ws1"]) * jnp.cos(sv["ys"])
+    douts["ws0"][:] += _dotT_a(h_last, dys.astype(bf16))
+    douts["bs0"][:] += jnp.sum(dys, axis=0, keepdims=True)
+    dh = dh + _dot_bT(dys.astype(bf16), ws["ws0"])
+
+    # sine trunk backward: d sin(a y) = a cos(a y)
+    for i in range(n_layers - 1, -1, -1):
+        dy = dh * (alphas[i] * jnp.cos(alphas[i] * sv["y"][i]))
+        h_prev = x if i == 0 else jnp.sin(
+            alphas[i - 1] * sv["y"][i - 1]).astype(bf16)
+        douts[f"t{i}"][:] += _dotT_a(h_prev, dy.astype(bf16))
+        douts[f"b{i}"][:] += jnp.sum(dy, axis=0, keepdims=True)
+        if i > 0:
+            dh = _dot_bT(dy.astype(bf16), ws[f"t{i}"])
+
+
+def make_fused_siren_mlp(n_layers: int, alphas: Tuple[float, ...],
+                         block_rows: int = 256, interpret: bool = False):
+    """Custom-VJP fused SiNeRF: (flat_weights, x_pad, d_pad) -> [N, 4]."""
+    names = siren_weight_names(n_layers)
+    alphas = tuple(float(a) for a in alphas)
+
+    def fwd_call(flat, x, d):
+        n = x.shape[0]
+        kern = functools.partial(_fwd_kernel, n_layers, alphas, names)
+        return pl.pallas_call(
+            kern,
+            grid=(n // block_rows,),
+            in_specs=[
+                pl.BlockSpec((block_rows, x.shape[1]), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((block_rows, d.shape[1]), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                *[pl.BlockSpec(memory_space=pltpu.VMEM) for _ in flat],
+            ],
+            out_specs=pl.BlockSpec((block_rows, 4), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((n, 4), jnp.float32),
+            interpret=interpret,
+        )(x, d, *flat)
+
+    def bwd_call(flat, x, d, dout):
+        n = x.shape[0]
+        dout128 = jnp.pad(dout.astype(jnp.float32), ((0, 0), (0, 124)))
+        kern = functools.partial(_bwd_kernel, n_layers, alphas, names)
+        dw_shapes = [jax.ShapeDtypeStruct(w.shape, jnp.float32) for w in flat]
+        dw_specs = [pl.BlockSpec(w.shape, lambda i: (0, 0),
+                                 memory_space=pltpu.VMEM) for w in flat]
+        return pl.pallas_call(
+            kern,
+            grid=(n // block_rows,),
+            in_specs=[
+                pl.BlockSpec((block_rows, x.shape[1]), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((block_rows, d.shape[1]), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((block_rows, 128), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                *[pl.BlockSpec(memory_space=pltpu.VMEM) for _ in flat],
+            ],
+            out_specs=tuple(dw_specs),
+            out_shape=tuple(dw_shapes),
+            interpret=interpret,
+        )(x, d, dout128, *flat)
+
+    @jax.custom_vjp
+    def fused(flat, x, d):
+        return fwd_call(flat, x, d)
+
+    def fused_fwd(flat, x, d):
+        return fwd_call(flat, x, d), (flat, x, d)
+
+    def fused_bwd(res, dout):
+        flat, x, d = res
+        dws = bwd_call(flat, x, d, dout)
+        dws = [g.astype(w.dtype) for g, w in zip(dws, flat)]
+        return (type(flat)(dws) if isinstance(flat, tuple) else dws,
+                jnp.zeros_like(x), jnp.zeros_like(d))
+
+    fused.defvjp(fused_fwd, fused_bwd)
+    return fused
+
+
+def make_fused_siren_model_fn(model_cfg, enc_cfg=None, block_rows: int = 256,
+                              interpret: bool = False):
+    """Drop-in trainable model_fn for SiNeRF (mirrors
+    mlp_train.make_fused_train_model_fn's signature; FreeNeRF frequency
+    masks are no-ops for SiNeRF — it consumes raw coordinates)."""
+    n_layers = model_cfg.n_layers
+    alphas = (30.0,) + (1.0,) * (n_layers - 1)      # run-nerf.py:69
+    fused = make_fused_siren_mlp(n_layers, alphas, block_rows=block_rows,
+                                 interpret=interpret)
+
+    def apply_fn(params, x, dirs, pos_mask=None, dir_mask=None):
+        prepped = prep_siren_params(params, n_layers=n_layers)
+        flat = tuple(_flat_siren(prepped, n_layers))
+        shape = x.shape[:-1]
+        x2 = x.reshape(-1, 3)
+        d2 = dirs.reshape(-1, 3)
+        n = x2.shape[0]
+        n_pad = _round_up(max(n, block_rows), block_rows)
+        dp = prepped["d_in_pad"]
+        xp = jnp.zeros((n_pad, dp), jnp.bfloat16)
+        xp = xp.at[:n, :3].set(x2.astype(jnp.bfloat16))
+        ddp = jnp.zeros((n_pad, dp), jnp.bfloat16)
+        ddp = ddp.at[:n, :3].set(d2.astype(jnp.bfloat16))
+        out = fused(flat, xp, ddp)[:n]
+        return out.reshape(*shape, 4)
+
+    return apply_fn

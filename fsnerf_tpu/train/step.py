@@ -48,14 +48,18 @@ def resolve_fused_kernel(cfg) -> bool:
 
     Auto = ON for accelerator backends (measured ~10% faster training on v5e
     at equal quality), OFF on the CPU backend where Mosaic kernels cannot
-    compile. Fused kernels exist only for the plain NeRF with a raw sigma
-    head, so other configs always resolve False.
+    compile. Fused train kernels exist for the plain NeRF with a raw sigma
+    head (ops/pallas/mlp_train.py) and for SiNeRF (ops/pallas/siren.py —
+    SiNeRF's built-in ReLU sigma head makes density_activation moot); other
+    configs resolve False.
     """
     want = cfg.model.fused_kernel
     if want is None:
         want = jax.default_backend() != "cpu"
-    return bool(want and cfg.model.model == "nerf"
-                and cfg.model.density_activation == "none")
+    ok_model = (cfg.model.model == "nerf"
+                and cfg.model.density_activation == "none") \
+        or cfg.model.model == "sinerf"
+    return bool(want and ok_model)
 
 
 def make_masks(cfg, step):
@@ -81,11 +85,17 @@ def make_loss_fn(model, cfg, scene) -> Callable:
     """
     s_cfg, t_cfg = cfg.sampling, cfg.train
     white_bkgd = cfg.data.white_bkgd
-    # trainable fused Pallas MLP (custom VJP): nerf, raw-sigma only
+    # trainable fused Pallas MLP (custom VJP): nerf raw-sigma, or sinerf
     use_fused = resolve_fused_kernel(cfg)
     if use_fused:
-        from fsnerf_tpu.ops.pallas.mlp_train import make_fused_train_model_fn
-        fused_apply = make_fused_train_model_fn(cfg.model, cfg.encoder)
+        if cfg.model.model == "sinerf":
+            from fsnerf_tpu.ops.pallas.siren import make_fused_siren_model_fn
+            fused_apply = make_fused_siren_model_fn(cfg.model, cfg.encoder)
+        else:
+            from fsnerf_tpu.ops.pallas.mlp_train import (
+                make_fused_train_model_fn,
+            )
+            fused_apply = make_fused_train_model_fn(cfg.model, cfg.encoder)
     use_occl = t_cfg.beta is not None
     use_wreg = t_cfg.ao is not None
     Ts = int(t_cfg.reg_ratio * t_cfg.Td)            # run-nerf.py:270

@@ -5,6 +5,8 @@ bf16 rounding — SURVEY.md section 7's 'pure-jnp reference impl + optional
 Pallas kernel pair (tested for equivalence)'.
 """
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -356,3 +358,112 @@ def test_fused_density_fn_in_grid_update(small_setup):
                                rtol=0.1, atol=1e-3)
     agree = (np.asarray(ga.binaries) == np.asarray(gb.binaries)).mean()
     assert agree > 0.98, agree
+
+
+# ---------------------------------------------------------------------------
+# Fused SiNeRF (SIREN) train kernel (ops/pallas/siren.py)
+# ---------------------------------------------------------------------------
+
+def _siren_setup():
+    from fsnerf_tpu.core.models import SiNeRF
+
+    model = SiNeRF(width=64, alpha=(30.0, 1.0, 1.0, 1.0),
+                   compute_dtype=jnp.bfloat16)
+    params = init_params(model, jax.random.key(7))
+    return model, params
+
+
+def test_fused_siren_matches_model():
+    from fsnerf_tpu.config import ModelConfig
+    from fsnerf_tpu.ops.pallas.siren import make_fused_siren_model_fn
+
+    model, params = _siren_setup()
+    x, d = _inputs(192, seed=9)
+    ref = np.asarray(model.apply(params, x, d), np.float32)
+    fn = make_fused_siren_model_fn(
+        ModelConfig(model="sinerf", n_layers=4, d_filter=64),
+        block_rows=64, interpret=True)
+    got = np.asarray(fn(params, x, d))
+    np.testing.assert_allclose(got[:, :3], ref[:, :3], atol=5e-3)
+    scale = np.abs(ref[:, 3]).max() + 1e-9
+    np.testing.assert_allclose(got[:, 3] / scale, ref[:, 3] / scale,
+                               atol=2e-2)
+
+
+def test_fused_siren_vjp_matches_autodiff():
+    """Weight grads through the custom-VJP Pallas backward == jax autodiff
+    through the bf16 flax SiNeRF (both recompute in bf16; sine phases f32)."""
+    from fsnerf_tpu.config import ModelConfig
+    from fsnerf_tpu.ops.pallas.siren import make_fused_siren_model_fn
+
+    model, params = _siren_setup()
+    x, d = _inputs(128, seed=11)
+    tgt = jnp.asarray(np.random.default_rng(0).uniform(0, 1, (128, 4)),
+                      jnp.float32)
+    fn = make_fused_siren_model_fn(
+        ModelConfig(model="sinerf", n_layers=4, d_filter=64),
+        block_rows=64, interpret=True)
+
+    def loss_fused(p):
+        return jnp.mean((fn(p, x, d) - tgt) ** 2)
+
+    def loss_ref(p):
+        return jnp.mean((model.apply(p, x, d) - tgt) ** 2)
+
+    g1 = jax.grad(loss_fused)(params)
+    g2 = jax.grad(loss_ref)(params)
+    for (k1, a), (k2, b) in zip(
+            sorted(jax.tree_util.tree_leaves_with_path(g1),
+                   key=lambda kv: str(kv[0])),
+            sorted(jax.tree_util.tree_leaves_with_path(g2),
+                   key=lambda kv: str(kv[0]))):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = np.abs(b).max() + 1e-9
+        np.testing.assert_allclose(a / scale, b / scale, atol=4e-2,
+                                   err_msg=str(k1))
+
+
+def test_fused_siren_in_train_step():
+    """SiNeRF end-to-end through the fused path (interpret) in the real
+    train step: loss decreases, state advances."""
+    import fsnerf_tpu.ops.pallas.siren as SIR
+    from fsnerf_tpu.config import (Config, DataConfig, EncoderConfig,
+                                   ModelConfig, SamplingConfig, TrainConfig)
+    from fsnerf_tpu.core.models import make_model
+    from fsnerf_tpu.data.pool import pool_from_images
+    from fsnerf_tpu.data.synthetic import SphereScene
+    from fsnerf_tpu.train.step import (init_state, make_optimizer,
+                                       make_train_step)
+
+    orig = SIR.make_fused_siren_model_fn
+    SIR.make_fused_siren_model_fn = functools.partial(orig, block_rows=64,
+                                                      interpret=True)
+    try:
+        cfg = Config(
+            data=DataConfig(dataset="sphere", white_bkgd=True),
+            model=ModelConfig(model="sinerf", n_layers=4, d_filter=32,
+                              fused_kernel=True),
+            sampling=SamplingConfig(strategy="occgrid", n_samples=32,
+                                    n_compact=16, grid_resolution=8,
+                                    warmup_steps=2, update_interval=4,
+                                    render_step_size=0.2),
+            train=TrainConfig(n_iters=24, batch_size=64, lro=5e-4,
+                              scheduler="const", dtype="bfloat16"),
+        )
+        scene = SphereScene(n_imgs=3, hw=12, white_bkgd=True)
+        model = make_model(cfg)
+        pool = pool_from_images(scene.imgs, scene.poses, scene.hwf)
+        opt = make_optimizer(cfg)
+        state = init_state(model, cfg, opt, scene.aabb, jax.random.key(0))
+        step = jax.jit(make_train_step(model, cfg, opt, pool, scene))
+        losses = []
+        for _ in range(24):
+            state, m = step(state)
+            losses.append(float(m["loss"]))
+        assert np.isfinite(losses).all()
+        # SIREN descent is noisy at this tiny batch/lr: compare averaged
+        # tails rather than endpoints (grad correctness is pinned by
+        # test_fused_siren_vjp_matches_autodiff)
+        assert np.mean(losses[-4:]) < np.mean(losses[:4])
+    finally:
+        SIR.make_fused_siren_model_fn = orig
