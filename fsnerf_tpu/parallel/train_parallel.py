@@ -33,23 +33,33 @@ def make_parallel_train_step(
     pool,
     scene,
     mesh: Mesh,
-    axis: str = "data",
+    axis=None,
 ) -> Callable[[TrainState], Tuple[TrainState, dict]]:
-    """Data-parallel train step over `mesh`.
+    """Data-parallel train step over `mesh` (1-D single-slice or 2-D
+    hybrid DCN x ICI — see parallel/mesh.py).
 
     Per-chip batch is cfg.train.batch_size // n_devices rays, so the global
     batch matches the single-chip configuration exactly. The loss is the
     SAME make_loss_fn closure the single-chip step uses (incl. the fused
     Pallas kernel and the samples_per_ray metric) — only the batch draw, the
-    gradient pmean over ICI, and the metric pmeans are parallel-specific.
+    gradient pmean (hierarchical: ICI within a slice, DCN across slices),
+    and the metric pmeans are parallel-specific.
     """
     t_cfg = cfg.train
     n_dev = mesh.devices.size
     local_bs = max(1, t_cfg.batch_size // n_dev)
     loss_fn = make_loss_fn(model, cfg, scene)
+    axes = (axis,) if isinstance(axis, str) else tuple(mesh.axis_names)
+
+    def _global_index():
+        """Linear device index across all mesh axes (row-major)."""
+        idx = jax.lax.axis_index(axes[0])
+        for a in axes[1:]:
+            idx = idx * jax.lax.axis_size(a) + jax.lax.axis_index(a)
+        return idx
 
     def sharded_step(state: TrainState) -> Tuple[TrainState, dict]:
-        my = jax.lax.axis_index(axis)
+        my = _global_index()
         key, k_batch, k_render, k_grid = jax.random.split(state.key, 4)
         # per-chip distinct batch + jitter
         batch = pool.sample(jax.random.fold_in(k_batch, my), local_bs)
@@ -59,12 +69,14 @@ def make_parallel_train_step(
             loss_fn, has_aux=True)(
             state.params, batch, state.grid, k_render, state.step)
 
-        # the gradient all-reduce over ICI
-        grads = jax.lax.pmean(grads, axis)
-        loss = jax.lax.pmean(loss, axis)
-        main_mse = jax.lax.pmean(main_mse, axis)
-        spr = jax.lax.pmean(spr, axis)
-        nv_q = jax.lax.pmean(nv_q, axis)
+        # gradient all-reduce: over ICI on a 1-D mesh; on a hybrid mesh XLA
+        # lowers the multi-axis pmean hierarchically (ICI first, then one
+        # DCN hop of the already-reduced values)
+        grads = jax.lax.pmean(grads, axes)
+        loss = jax.lax.pmean(loss, axes)
+        main_mse = jax.lax.pmean(main_mse, axes)
+        spr = jax.lax.pmean(spr, axes)
+        nv_q = jax.lax.pmean(nv_q, axes)
 
         updates, opt_state = optimizer.update(grads, state.opt_state,
                                               state.params)
@@ -94,14 +106,16 @@ def render_rays_tiled(
     rays_o: jax.Array,
     rays_d: jax.Array,
     mesh: Mesh,
-    axis: str = "data",
+    axis=None,
 ):
-    """SPMD full-frame ray rendering: rays sharded over chips, outputs
-    gathered. `render_fn(rays_o, rays_d) -> dict` must be shape-polymorphic
-    over the ray axis. Ray count must be padded to a multiple of n_devices by
-    the caller (render/renderer.py pads frames anyway).
+    """SPMD full-frame ray rendering: rays sharded over chips (every mesh
+    axis is a batch axis), outputs gathered. `render_fn(rays_o, rays_d) ->
+    dict` must be shape-polymorphic over the ray axis. Ray count must be
+    padded to a multiple of n_devices by the caller (render/renderer.py pads
+    frames anyway).
     """
-    shard = NamedSharding(mesh, P(axis))
+    axes = (axis,) if isinstance(axis, str) else tuple(mesh.axis_names)
+    shard = NamedSharding(mesh, P(axes))
     rays_o = jax.device_put(rays_o, shard)
     rays_d = jax.device_put(rays_d, shard)
     fn = jax.jit(render_fn, in_shardings=(shard, shard))

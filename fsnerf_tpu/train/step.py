@@ -56,10 +56,13 @@ def resolve_fused_kernel(cfg) -> bool:
     want = cfg.model.fused_kernel
     if want is None:
         want = jax.default_backend() != "cpu"
-    ok_model = (cfg.model.model == "nerf"
-                and cfg.model.density_activation == "none") \
-        or cfg.model.model == "sinerf"
-    return bool(want and ok_model)
+    skip = tuple(cfg.model.skip)
+    ok_nerf = (cfg.model.model == "nerf"
+               and cfg.model.density_activation == "none"
+               # the kernel's skip concat must feed a TRUNK layer
+               # (ops/pallas/mlp.py::prep_params raises otherwise)
+               and (not skip or max(skip) < cfg.model.n_layers - 1))
+    return bool(want and (ok_nerf or cfg.model.model == "sinerf"))
 
 
 def make_masks(cfg, step):

@@ -180,3 +180,68 @@ def test_cli_parallel_mesh_end_to_end(tmp_path, monkeypatch):
         "--white_bkgd", "--debug", "--n_devices", "8",
     ])
     assert rc == 0
+
+
+# ---------------------------------------------------------------------------
+# Multi-host (DCN) hybrid mesh (parallel/mesh.py::make_hybrid_mesh)
+# ---------------------------------------------------------------------------
+
+def test_hybrid_mesh_shape():
+    from fsnerf_tpu.parallel.mesh import make_hybrid_mesh
+
+    mesh = make_hybrid_mesh(n_groups=2)     # simulate 2 hosts x 4 chips
+    assert mesh.devices.shape == (2, 4)
+    assert mesh.axis_names == ("replica", "data")
+    # single-process grouping by process_index degenerates to one group
+    m1 = make_hybrid_mesh()
+    assert m1.devices.shape[0] == 1
+
+
+def test_hybrid_mesh_step_matches_flat_mesh():
+    """The 2-D (replica, data) step must be bit-identical to the 1-D 'data'
+    step: the row-major global device index draws the same per-chip batches,
+    and the hierarchical pmean reduces the same values."""
+    from fsnerf_tpu.parallel.mesh import make_hybrid_mesh
+
+    cfg = _cfg()
+    scene = SphereScene(n_imgs=4, hw=16)
+    model = make_model(cfg)
+    pool = pool_from_images(scene.imgs, scene.poses, scene.hwf)
+    optimizer = make_optimizer(cfg)
+    mesh1 = make_mesh(8)
+    # independent states (same seed -> same values): the step donates its
+    # input, so the two paths must not alias buffers
+    s1 = replicate(init_state(model, cfg, optimizer, scene.aabb,
+                              jax.random.key(0)), mesh1)
+    step1 = make_parallel_train_step(model, cfg, optimizer, pool, scene,
+                                     mesh1)
+    mesh2 = make_hybrid_mesh(n_groups=2)
+    s2 = replicate(init_state(model, cfg, optimizer, scene.aabb,
+                              jax.random.key(0)), mesh2)
+    step2 = make_parallel_train_step(model, cfg, optimizer, pool, scene,
+                                     mesh2)
+    for _ in range(3):
+        s1, m1 = step1(s1)
+        s2, m2 = step2(s2)
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]),
+                               rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-5,
+                                   atol=1e-7)
+
+
+def test_hybrid_mesh_tiled_render():
+    from fsnerf_tpu.parallel.mesh import make_hybrid_mesh
+    from fsnerf_tpu.parallel.train_parallel import render_rays_tiled
+
+    def render_fn(ro, rd):
+        return {"rgb": jnp.tanh(ro + rd)}
+
+    mesh = make_hybrid_mesh(n_groups=2)
+    ro = jnp.asarray(np.random.default_rng(0).normal(size=(64, 3)),
+                     jnp.float32)
+    rd = jnp.asarray(np.random.default_rng(1).normal(size=(64, 3)),
+                     jnp.float32)
+    out = render_rays_tiled(render_fn, ro, rd, mesh)
+    np.testing.assert_allclose(np.asarray(out["rgb"]),
+                               np.asarray(jnp.tanh(ro + rd)), atol=1e-6)
