@@ -107,6 +107,39 @@ def make_fused_render_fn(params, cfg, step=None, mesh=None):
         pos_mask=pos_mask, dir_mask=dir_mask)
 
 
+def derive_eval_n_compact(grid, split, cfg) -> int:
+    """Eval-time compaction K from the CONVERGED occupancy grid.
+
+    Training adapts K with CompactionController, but eval/video renders
+    would otherwise run at the configured CEILING (e.g. 192) while the
+    converged grid leaves only ~K=64 samples per ray — ~3x wasted MLP work
+    per rendered pixel. Probe one pose's rays (subsampled, no model eval —
+    renderer.count_valid_samples) and apply the same ladder rule.
+    """
+    import jax.numpy as jnp
+
+    from fsnerf_tpu.data.rays import get_rays, to_ndc
+    from fsnerf_tpu.ops import occgrid as og
+    from fsnerf_tpu.render.renderer import count_valid_samples
+    from fsnerf_tpu.train.loop import CompactionController
+
+    s = cfg.sampling
+    ctl = CompactionController(cfg)
+    if not ctl.enabled or len(split.poses) == 0:
+        return s.n_compact
+    ro, rd = get_rays(jnp.asarray(split.poses[0]), split.hwf)
+    ro, rd = ro.reshape(-1, 3), rd.reshape(-1, 3)
+    if split.ndc:
+        ro, rd = to_ndc(ro, rd, split.hwf, 1.0)
+    stride = max(1, ro.shape[0] // 4096)
+    nv = count_valid_samples(
+        ro[::stride], rd[::stride], grid, s.n_samples,
+        render_step_size=s.render_step_size,
+        early_stop_eps=s.early_stop_eps,
+        query_stride=og.resolve_query_stride(s, split.aabb))
+    return ctl.target(float(jnp.mean(nv)))
+
+
 def evaluate_split(model, params, grid, split, cfg, chunksize=16384,
                    mesh=None):
     """Final metrics over a split (reference evaluation(),
@@ -119,12 +152,13 @@ def evaluate_split(model, params, grid, split, cfg, chunksize=16384,
 
     model_fn = make_render_model_fn(model, params, cfg)
     q_stride = og.resolve_query_stride(cfg.sampling, split.aabb)
+    eval_k = derive_eval_n_compact(grid, split, cfg)
     chunk_renderer = make_chunk_renderer(
         model_fn, strategy=cfg.sampling.strategy, grid=grid,
         n_samples=cfg.sampling.n_samples, n_fine=cfg.sampling.n_fine,
         render_step_size=cfg.sampling.render_step_size,
         white_bkgd=split.white_bkgd, near=split.near, far=split.far,
-        n_compact=cfg.sampling.n_compact,
+        n_compact=eval_k,
         early_stop_eps=cfg.sampling.early_stop_eps,
         query_stride=q_stride, mesh=mesh,
         fused_render_fn=make_fused_render_fn(params, cfg, mesh=mesh))
@@ -318,7 +352,8 @@ def main(argv=None):
         render_step_size=cfg.sampling.render_step_size,
         ndc=train_split.ndc, white_bkgd=train_split.white_bkgd,
         chunksize=2 * cfg.train.batch_size,
-        n_compact=cfg.sampling.n_compact, mesh=mesh,
+        n_compact=derive_eval_n_compact(state.grid, train_split, cfg),
+        mesh=mesh,
         query_stride=resolve_query_stride(cfg.sampling, train_split.aabb),
         fused_render_fn=make_fused_render_fn(state.params, cfg, mesh=mesh))
     if not cfg.log.debug:

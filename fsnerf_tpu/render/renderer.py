@@ -45,6 +45,57 @@ def to8b(x: np.ndarray) -> np.ndarray:
     return (255 * np.clip(x, 0, 1)).astype(np.uint8)
 
 
+def _masked_lattice(rays_o, rays_d, grid, n_samples, key,
+                    render_step_size, early_stop_eps, query_stride):
+    """The occgrid pre-MLP stage: dense sample lattice -> occupancy mask ->
+    approximate (grid-EMA) transmittance early termination.
+
+    Returns (t_mid, deltas, mask, x, n_valid) — n_valid is the per-ray
+    surviving-sample count, the adaptive-compaction control signal.
+    """
+    t_mid, deltas, valid = uniform_samples(
+        rays_o, rays_d, og.outer_aabb(grid), n_samples, key=key,
+        step_size=render_step_size)
+    x = sample_points(rays_o, rays_d, t_mid)
+    R = x.shape[0]
+    xq = x[:, query_stride // 2::query_stride] if query_stride > 1 else x
+
+    def expand(g):
+        if query_stride == 1:
+            return g
+        return jnp.broadcast_to(
+            g[..., None], (*g.shape, query_stride)).reshape(R, n_samples)
+
+    if early_stop_eps > 0:
+        occupied, occ_val = og.query_with_density(grid, xq)
+        occupied, occ_val = expand(occupied), expand(occ_val)
+        # occ EMA values approximate sigma * render_step_size per cell
+        approx_od = jnp.where(valid, occ_val * (deltas / render_step_size),
+                              0.0)
+        cum = jnp.cumsum(approx_od, axis=-1)
+        visible = jnp.exp(-(cum - approx_od)) > early_stop_eps
+        mask = valid & occupied & visible
+    else:
+        mask = valid & expand(og.query(grid, xq))
+    n_valid = jnp.sum(mask.astype(jnp.float32), axis=-1)
+    return t_mid, deltas, mask, x, n_valid
+
+
+def count_valid_samples(
+    rays_o: jax.Array,
+    rays_d: jax.Array,
+    grid: og.OccGrid,
+    n_samples: int,
+    render_step_size: float = 5e-3,
+    early_stop_eps: float = 1e-4,
+    query_stride: int = 1,
+) -> jax.Array:
+    """Per-ray surviving-sample count WITHOUT any model evaluation — used to
+    derive an eval-time compaction K from the converged grid (cli.py)."""
+    return _masked_lattice(rays_o, rays_d, grid, n_samples, None,
+                           render_step_size, early_stop_eps, query_stride)[4]
+
+
 def render_rays_occgrid(
     model_fn: Callable,
     rays_o: jax.Array,
@@ -84,37 +135,9 @@ def render_rays_occgrid(
     Returns:
       dict(rgb, opacity, depth, weights, trans_final, sigmas, t_vals, mask).
     """
-    t_mid, deltas, valid = uniform_samples(
-        rays_o, rays_d, og.outer_aabb(grid), n_samples, key=key,
-        step_size=render_step_size)
-    x = sample_points(rays_o, rays_d, t_mid)                 # [R, S, 3]
-    R = x.shape[0]
-    if query_stride > 1:
-        # query group-center samples only; broadcast the result to the group
-        xq = x[:, query_stride // 2::query_stride]
-    else:
-        xq = x
-
-    def expand(g):
-        if query_stride == 1:
-            return g
-        return jnp.broadcast_to(
-            g[..., None], (*g.shape, query_stride)).reshape(R, n_samples)
-
-    if early_stop_eps > 0:
-        occupied, occ_val = og.query_with_density(grid, xq)
-        occupied, occ_val = expand(occupied), expand(occ_val)
-        # occ EMA values approximate sigma * render_step_size per cell
-        approx_od = jnp.where(valid, occ_val * (deltas / render_step_size),
-                              0.0)
-        cum = jnp.cumsum(approx_od, axis=-1)
-        visible = jnp.exp(-(cum - approx_od)) > early_stop_eps
-        mask = valid & occupied & visible
-    else:
-        mask = valid & expand(og.query(grid, xq))
-    # pre-compaction valid count: the signal for adaptive compaction (how
-    # many samples each ray NEEDS, independent of the K it is squeezed into)
-    n_valid = jnp.sum(mask.astype(jnp.float32), axis=-1)     # [R]
+    t_mid, deltas, mask, x, n_valid = _masked_lattice(
+        rays_o, rays_d, grid, n_samples, key, render_step_size,
+        early_stop_eps, query_stride)
     if n_compact and n_compact < n_samples:
         # uniform_samples emits per-ray-constant deltas, so the specialized
         # compaction (2-operand sort instead of 4) applies

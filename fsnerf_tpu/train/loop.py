@@ -68,6 +68,11 @@ class CompactionController:
         self.patience = patience
         self._below = 0
 
+    def target(self, nv_q: float) -> int:
+        """Ladder K for a measured mean valid-sample count (public: also
+        used to derive the eval-time K from the converged grid, cli.py)."""
+        return self._target(nv_q)
+
     def _target(self, nv_q: float) -> int:
         t = int(-(-self.margin * max(nv_q, 1.0) // self.STEP)) * self.STEP
         return min(max(t, self.STEP), self.k_max)

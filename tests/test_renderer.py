@@ -125,3 +125,43 @@ def test_chunks_and_pose_debug_plot(tmp_path):
                               str(tmp_path / "poses.png"))
     import os
     assert os.path.getsize(p) > 0
+
+
+def test_count_valid_samples_matches_render_n_valid():
+    """The model-free probe must agree with render_rays_occgrid's n_valid."""
+    from fsnerf_tpu.render.renderer import count_valid_samples, render_rays_occgrid
+
+    rng = np.random.default_rng(2)
+    o = rng.normal(size=(32, 3))
+    o = 4.0 * o / np.linalg.norm(o, axis=-1, keepdims=True)
+    d = -o / 4.0
+    o, d = jnp.asarray(o, jnp.float32), jnp.asarray(d, jnp.float32)
+    grid = _grid()
+    out = render_rays_occgrid(_analytic_model, o, d, grid, 64,
+                              render_step_size=0.05, n_compact=32)
+    nv = count_valid_samples(o, d, grid, 64, render_step_size=0.05)
+    np.testing.assert_array_equal(np.asarray(out["n_valid"]), np.asarray(nv))
+
+
+def test_derive_eval_n_compact_from_converged_grid():
+    from fsnerf_tpu.cli import derive_eval_n_compact
+    from fsnerf_tpu.config import Config, DataConfig, SamplingConfig
+
+    class _Split:
+        poses = np.stack([np.asarray(_pose())])
+        hwf = (24, 24, 20.0)
+        ndc = False
+        aabb = np.asarray(AABB)
+
+    cfg = Config(data=DataConfig(dataset="sphere"),
+                 sampling=SamplingConfig(strategy="occgrid", n_samples=96,
+                                         n_compact=96, grid_resolution=32,
+                                         render_step_size=0.05))
+    k = derive_eval_n_compact(_grid(), _Split(), cfg)
+    # converged sphere grid: far fewer than the 96 ceiling, ladder-aligned
+    assert 16 <= k < 96 and k % 16 == 0, k
+    # adaptive off -> ceiling unchanged
+    import dataclasses
+    cfg2 = cfg.replace(sampling=dataclasses.replace(cfg.sampling,
+                                                    adapt_compact=False))
+    assert derive_eval_n_compact(_grid(), _Split(), cfg2) == 96
