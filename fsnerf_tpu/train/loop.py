@@ -11,6 +11,7 @@ via lax.scan.
 from __future__ import annotations
 
 import json
+import math
 import os
 import time
 from typing import Callable, Optional
@@ -184,37 +185,73 @@ def train(
                        donate_argnums=0)
 
     compactor = CompactionController(cfg)
-    step_fn = build_step(cfg)
     schedule = make_schedule(cfg)
+
+    # Dispatch in lax.scan chunks between callback boundaries: per-step
+    # dispatch from the single host core costs ~5-10 ms/step — at 250k
+    # rays/s steady state that would DOMINATE wall clock. The chunk size is
+    # a common divisor of every active boundary (log/val/ckpt), so callback
+    # semantics are step-exact; a chunk of 1 falls back to the plain step.
+    bounds = [max(1, log_every)]
+    if cfg.train.val and val_fn:
+        bounds.append(max(1, cfg.train.val_rate))
+    if checkpointer and cfg.train.ckpt_every:
+        bounds.append(max(1, cfg.train.ckpt_every))
+    g = bounds[0]
+    for b in bounds[1:]:
+        g = math.gcd(g, b)
+    chunk_c = next(d for d in (100, 50, 25, 20, 10, 5, 4, 2, 1)
+                   if g % d == 0)
+    if int(state.step) % chunk_c:
+        chunk_c = 1                      # resume mid-chunk: step singly
+
+    def build_chunk(c, n):
+        sf = build_step(c)
+        if n == 1:
+            return sf
+        return jax.jit(make_train_chunk(sf, n), donate_argnums=0)
+
+    chunk_fns = {}                       # chunk length -> compiled fn
+
+    def get_chunk(c, n):
+        if n not in chunk_fns:
+            chunk_fns[n] = build_chunk(c, n)
+        return chunk_fns[n]
 
     start = int(state.step)
     t0 = time.perf_counter()
-    for k in range(start, cfg.train.n_iters):
-        state, metrics = step_fn(state)
-        if (k + 1) % log_every == 0 or k == cfg.train.n_iters - 1:
+    k = start
+    while k < cfg.train.n_iters:
+        n = min(chunk_c, cfg.train.n_iters - k)
+        state, metrics = get_chunk(compactor.apply(cfg), n)(state)
+        k += n
+        # adaptive compaction observes EVERY chunk (not just log boundaries):
+        # the ladder must track the converging grid at its own cadence
+        if compactor.enabled and "n_valid_mean" in metrics:
+            if compactor.observe(float(
+                    jax.device_get(metrics["n_valid_mean"]))):
+                chunk_fns.clear()           # programs recompile at the new K
+        if k % log_every == 0 or k == cfg.train.n_iters:
             m = jax.device_get(metrics)
             dt = time.perf_counter() - t0
-            rays_per_sec = (k + 1 - start) * cfg.train.batch_size / dt
+            rays_per_sec = (k - start) * cfg.train.batch_size / dt
             m["rays_per_sec"] = rays_per_sec
             # reference wandb fields (run-nerf.py:297-299): lr + alpha
-            m["lr"] = float(schedule(k))
+            m["lr"] = float(schedule(k - 1))
             if cfg.train.ao is not None:
                 m["alpha"] = cfg.train.ao
             m["n_compact"] = compactor.k
             if logger:
-                logger.log(k + 1, m)
-            # adaptive compaction: swap in a step recompiled at the new K
-            if compactor.observe(float(m.get("n_valid_mean", 0.0))):
-                step_fn = build_step(compactor.apply(cfg))
-        if cfg.train.val and val_fn and (k + 1) % cfg.train.val_rate == 0:
-            val_metrics = val_fn(state, k + 1)
+                logger.log(k, m)
+        if cfg.train.val and val_fn and k % cfg.train.val_rate == 0:
+            val_metrics = val_fn(state, k)
             if logger and val_metrics:
-                logger.log(k + 1, {f"val_{n}": v
-                                   for n, v in val_metrics.items()
-                                   if v is not None})
+                logger.log(k, {f"val_{n}": v
+                               for n, v in val_metrics.items()
+                               if v is not None})
         if (checkpointer and cfg.train.ckpt_every
-                and (k + 1) % cfg.train.ckpt_every == 0):
-            checkpointer.save(state, k + 1)
+                and k % cfg.train.ckpt_every == 0):
+            checkpointer.save(state, k)
 
     if checkpointer:
         checkpointer.save(state, cfg.train.n_iters, final=True)
