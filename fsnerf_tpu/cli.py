@@ -88,11 +88,18 @@ def make_fused_render_fn(params, cfg, step=None, mesh=None):
     """Fused ray-march render kernel (MLP + compositing + exact early exit,
     ops/pallas/render.py) when --fused_render applies; None otherwise.
 
-    Gated to NeRF + occgrid + single-chip: the Pallas call is not
-    automatically partitionable under the mesh-sharded chunk renderer.
+    Gated to NeRF + occgrid + an accelerator backend (Mosaic kernels cannot
+    compile on CPU — mirror resolve_fused_kernel's backend check, and the
+    same no_dirs/skip constraints). Multi-chip: the kernel runs under
+    shard_map on the mesh's batch axes (renderer.py pads chunks to a
+    device-divisible ray count).
     """
+    skip = tuple(cfg.model.skip)
     if not (cfg.model.fused_render and cfg.model.model == "nerf"
-            and cfg.sampling.strategy == "occgrid" and mesh is None):
+            and cfg.sampling.strategy == "occgrid"
+            and jax.default_backend() != "cpu"
+            and not cfg.encoder.no_dirs
+            and (not skip or max(skip) < cfg.model.n_layers - 1)):
         return None
     from fsnerf_tpu.ops.pallas.render import make_fused_ray_renderer
     from fsnerf_tpu.train.step import make_masks
@@ -113,8 +120,13 @@ def derive_eval_n_compact(grid, split, cfg) -> int:
     Training adapts K with CompactionController, but eval/video renders
     would otherwise run at the configured CEILING (e.g. 192) while the
     converged grid leaves only ~K=64 samples per ray — ~3x wasted MLP work
-    per rendered pixel. Probe one pose's rays (subsampled, no model eval —
-    renderer.count_valid_samples) and apply the same ladder rule.
+    per rendered pixel. Probes up to 3 poses (subsampled rays, no model
+    eval — renderer.count_valid_samples), takes the 97th-percentile valid
+    count per pose (eval uses a TIGHT K: the mean would push the whole
+    upper tail of rays onto the coarser spread quadrature), and returns the
+    max ladder target across the probed poses — a split whose later views
+    see deeper geometry must not render under-sampled because view 0 was
+    shallow.
     """
     import jax.numpy as jnp
 
@@ -127,17 +139,22 @@ def derive_eval_n_compact(grid, split, cfg) -> int:
     ctl = CompactionController(cfg)
     if not ctl.enabled or len(split.poses) == 0:
         return s.n_compact
-    ro, rd = get_rays(jnp.asarray(split.poses[0]), split.hwf)
-    ro, rd = ro.reshape(-1, 3), rd.reshape(-1, 3)
-    if split.ndc:
-        ro, rd = to_ndc(ro, rd, split.hwf, 1.0)
-    stride = max(1, ro.shape[0] // 4096)
-    nv = count_valid_samples(
-        ro[::stride], rd[::stride], grid, s.n_samples,
-        render_step_size=s.render_step_size,
-        early_stop_eps=s.early_stop_eps,
-        query_stride=og.resolve_query_stride(s, split.aabb))
-    return ctl.target(float(jnp.mean(nv)))
+    q_stride = og.resolve_query_stride(s, split.aabb)
+    n_probe = min(3, len(split.poses))
+    probe_idx = [int(i * len(split.poses) / n_probe) for i in range(n_probe)]
+    k = ctl.STEP
+    for i in probe_idx:
+        ro, rd = get_rays(jnp.asarray(split.poses[i]), split.hwf)
+        ro, rd = ro.reshape(-1, 3), rd.reshape(-1, 3)
+        if split.ndc:
+            ro, rd = to_ndc(ro, rd, split.hwf, 1.0)
+        stride = max(1, ro.shape[0] // 4096)
+        nv = count_valid_samples(
+            ro[::stride], rd[::stride], grid, s.n_samples,
+            render_step_size=s.render_step_size,
+            early_stop_eps=s.early_stop_eps, query_stride=q_stride)
+        k = max(k, ctl.target(float(jnp.percentile(nv, 97.0))))
+    return k
 
 
 def evaluate_split(model, params, grid, split, cfg, chunksize=16384,
@@ -180,9 +197,8 @@ def evaluate_split(model, params, grid, split, cfg, chunksize=16384,
                            lpips_fn), preds
 
 
-def save_video(frames, d_frames, out_dir, fps=30):
-    from fsnerf_tpu.render.renderer import render_video
-    rgb8, dep8 = render_video(frames, d_frames)
+def save_video(rgb8, dep8, out_dir, fps=30):
+    """Write rendered rgb/depth uint8 [T, C, H, W] streams to disk."""
     os.makedirs(out_dir, exist_ok=True)
     try:
         import imageio.v2 as iio
@@ -213,6 +229,11 @@ def main(argv=None):
     from fsnerf_tpu.utils.profiling import enable_compilation_cache
     enable_compilation_cache()
     cfg = config_from_args(argv)
+    if cfg.parallel.distributed:
+        # multi-host bring-up MUST precede any backend-touching JAX API
+        # (jax.devices() below initializes the backend)
+        from fsnerf_tpu.parallel.mesh import distributed_init
+        distributed_init()
     logger.info("devices: %s", jax.devices())
 
     run_name = (f"{cfg.model.model}_{cfg.data.dataset}_img{cfg.data.n_imgs}"
@@ -241,6 +262,8 @@ def main(argv=None):
         logger.info("data-parallel mesh over %d devices (grad pmean on ICI)",
                     mesh.devices.size)
 
+    mlogger = MetricsLogger(None if cfg.log.debug else out_dir,
+                            use_wandb=cfg.log.use_wandb, run_name=run_name)
     if not cfg.log.debug:
         try:
             from fsnerf_tpu.utils.camera3dplotter import Camera3DPlotter
@@ -249,6 +272,8 @@ def main(argv=None):
             plotter.set_poses(val_split.poses, "val")
             plotter.set_poses(test_split.poses, "test")
             plotter.save_html(os.path.join(out_dir, "camera_poses.html"))
+            if mlogger.wandb:   # reference uploads the figure to wandb
+                plotter.upload_plot()   # (run-nerf.py:378-380)
         except Exception as e:
             logger.warning("camera plot skipped: %s", e)
 
@@ -262,9 +287,6 @@ def main(argv=None):
         if cfg.train.resume and ckpt and ckpt.latest_step() is not None:
             state = ckpt.restore(state)
             logger.info("resumed from step %d", int(state.step))
-        mlogger = MetricsLogger(None if cfg.log.debug else out_dir,
-                                use_wandb=cfg.log.use_wandb,
-                                run_name=run_name)
 
         # Periodic validation (the reference's commented-out in-loop block,
         # run-nerf.py:302-350): render the first val view. ONE jitted chunk
@@ -333,7 +355,7 @@ def main(argv=None):
         if not cfg.log.debug:
             with open(os.path.join(out_dir, "final_metrics.json"), "w") as fh:
                 json.dump(metrics, fh)
-        mlogger.close()
+        mlogger.log_summary(metrics)    # reference run-nerf.py:404-413
     else:
         assert ckpt is not None and ckpt.latest_step() is not None, \
             "--render_only requires an existing checkpoint in out_dir"
@@ -356,10 +378,15 @@ def main(argv=None):
         mesh=mesh,
         query_stride=resolve_query_stride(cfg.sampling, train_split.aabb),
         fused_render_fn=make_fused_render_fn(state.params, cfg, mesh=mesh))
+    from fsnerf_tpu.render.renderer import render_video
+    rgb8, dep8 = render_video(frames, d_frames)
     if not cfg.log.debug:
-        written = save_video(frames, d_frames,
-                             os.path.join(out_dir, "video"))
+        written = save_video(rgb8, dep8, os.path.join(out_dir, "video"))
         logger.info("wrote %s to %s/video", written, out_dir)
+    # reference logs both path renders as wandb mp4s (run-nerf.py:459-468)
+    mlogger.log_video("rgb_video", rgb8)
+    mlogger.log_video("depth_video", dep8)
+    mlogger.close()
     if ckpt:
         ckpt.close()
     return 0

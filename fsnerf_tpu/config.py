@@ -172,6 +172,10 @@ class ParallelConfig:
 
     data_axis: str = "data"
     n_devices: int = 0              # 0 = all visible devices
+    # Multi-process (multi-host) bring-up: call jax.distributed.initialize()
+    # before the backend initializes (parallel/mesh.py::distributed_init).
+    # On TPU pods everything autodetects from runtime metadata.
+    distributed: bool = False
 
 
 @dataclass(frozen=True)
@@ -314,6 +318,9 @@ def config_parser() -> argparse.ArgumentParser:
     g.add_argument("--n_devices", default=0, type=int,
                    help="Data-parallel device count (0 = all visible; "
                         "1 = force single-chip)")
+    g.add_argument("--distributed", action="store_true",
+                   help="Multi-process run: jax.distributed.initialize() "
+                        "before the backend comes up (one process per host)")
 
     g = p.add_argument_group("validation")
     g.add_argument("--val", action="store_true")
@@ -396,6 +403,7 @@ _FLAG_MAP = {
     "ckpt_every": ("train", "ckpt_every"),
     "resume": ("train", "resume"),
     "n_devices": ("parallel", "n_devices"),
+    "distributed": ("parallel", "distributed"),
     "out_dir": ("log", "out_dir"),
     "debug": ("log", "debug"),
     "render_only": ("log", "render_only"),

@@ -123,6 +123,10 @@ class NeRF(nn.Module):
     log_space: bool = True
     density_activation: str = "none"
     compute_dtype: jnp.dtype = jnp.float32
+    # --no_dirs (reference parser.py:28: "do not model view-dependent
+    # effects"; unconsumed there — wired here): the RGB branch sees only the
+    # bottleneck feature, no direction encoding, so radiance is Lambertian.
+    use_viewdirs: bool = True
 
     @nn.compact
     def __call__(
@@ -157,9 +161,12 @@ class NeRF(nn.Module):
             return sigma
 
         feat = TorchDense(d, fan, self.compute_dtype, name="connection")(h)
-        dir_in = positional_encoding(dirs, self.n_freqs_views, self.log_space,
-                                     dir_mask)
-        b_in = jnp.concatenate([feat, dir_in], axis=-1)
+        if self.use_viewdirs:
+            dir_in = positional_encoding(dirs, self.n_freqs_views,
+                                         self.log_space, dir_mask)
+            b_in = jnp.concatenate([feat, dir_in], axis=-1)
+        else:
+            b_in = feat
         b = jax.nn.relu(
             TorchDense(d // 2, b_in.shape[-1], self.compute_dtype,
                        name="branch")(b_in))
@@ -201,6 +208,7 @@ class SiNeRF(nn.Module):
     d_pos: int = 3
     d_dir: int = 3
     compute_dtype: jnp.dtype = jnp.float32
+    use_viewdirs: bool = True       # --no_dirs: Lambertian RGB head
 
     @nn.compact
     def __call__(
@@ -229,8 +237,12 @@ class SiNeRF(nn.Module):
         sigma = sigma_head(h)
         feat = TorchDense(w, w, self.compute_dtype, name="fc_feature")(h)
         # RGB head receives RAW (unencoded) view directions (models.py:304)
-        r = jnp.concatenate([feat, dirs], axis=-1)
-        r = SirenDense(w // 2, w + self.d_dir, 1.0,
+        if self.use_viewdirs:
+            r = jnp.concatenate([feat, dirs], axis=-1)
+            d_r = w + self.d_dir
+        else:
+            r, d_r = feat, w
+        r = SirenDense(w // 2, d_r, 1.0,
                        compute_dtype=self.compute_dtype, name="rgb_0")(r)
         rgb = jax.nn.sigmoid(
             TorchDense(3, w // 2, self.compute_dtype, name="rgb_1")(r))
@@ -252,6 +264,7 @@ def make_model(cfg) -> nn.Module:
             log_space=cfg.encoder.log_space,
             density_activation=cfg.model.density_activation,
             compute_dtype=compute_dtype,
+            use_viewdirs=not cfg.encoder.no_dirs,
         )
     if cfg.model.model == "sinerf":
         alpha = (30.0,) + (1.0,) * (cfg.model.n_layers - 1)  # run-nerf.py:69
@@ -261,6 +274,7 @@ def make_model(cfg) -> nn.Module:
             d_pos=cfg.encoder.d_input,
             d_dir=cfg.encoder.d_input,
             compute_dtype=compute_dtype,
+            use_viewdirs=not cfg.encoder.no_dirs,
         )
     raise ValueError(f"Model {cfg.model.model} not supported")
 

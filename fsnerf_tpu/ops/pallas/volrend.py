@@ -19,6 +19,16 @@ Layout notes (see /opt/skills/guides/pallas_guide.md):
     elementwise op) so the kernel needs no scalar operands.
 
 Equivalence vs ops.volrend.volume_render is tested in tests/test_pallas.py.
+
+STATUS (round 3): SUPERSEDED in the product paths. Training composites
+through the jnp ops/volrend.py (the compositing must sit inside the
+autodiff graph — this kernel is forward-only), and eval/video rendering
+uses the fused ray-march kernel (ops/pallas/render.py), which subsumes this
+kernel's compositing AND the MLP in one VMEM pass with exact early exit —
+strictly more fusion than volrend alone. Kept as the tested reference for
+the in-kernel transmittance-scan building blocks (_cumsum_lanes is imported
+by ops/pallas/render.py) and for forward-compositing workloads over
+precomputed sigmas/rgbs.
 """
 
 from __future__ import annotations

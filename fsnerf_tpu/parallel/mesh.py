@@ -33,9 +33,14 @@ def distributed_init(coordinator_address: Optional[str] = None,
     On TPU pods jax.distributed.initialize() autodetects everything from the
     runtime metadata; arguments are for manual (e.g. GPU/CPU) bring-up.
     No-op when already initialized or when running single-process.
+
+    MUST run before any backend-touching JAX API (jax.devices(),
+    jax.process_count(), ...): initialize() after backend init fails. The
+    is-already-initialized check therefore uses jax.distributed.is_initialized
+    — which does NOT touch the backend — never process_count().
     """
-    if jax.process_count() > 1:
-        return                           # already initialized
+    if jax.distributed.is_initialized():
+        return
     if coordinator_address is None and num_processes is None:
         try:
             jax.distributed.initialize()

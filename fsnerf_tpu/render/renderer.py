@@ -256,16 +256,13 @@ def make_chunk_renderer(
     sharded over the mesh's 'data' axis and the model/grid replicated (the
     tiled-frame rendering of SURVEY.md section 2.3, replacing the reference's
     sequential chunk loop at rendering.py:152-171). Chunk sizes must then be
-    a multiple of the device count (render_frame guarantees this).
+    a multiple of the device count (render_frame guarantees this). The XLA
+    pipeline partitions automatically under jit; the fused Pallas kernel is
+    not auto-partitionable, so that path is wrapped in shard_map — each chip
+    runs the kernel on its ray tile (rays are i.i.d., so the per-tile
+    depth-coherence sort and compositing equal the single-chip math).
     """
-    jit_kwargs = {}
-    if mesh is not None:
-        from fsnerf_tpu.parallel.mesh import batch_sharding
-        shard = batch_sharding(mesh)
-        jit_kwargs = dict(in_shardings=(shard, shard))
-
-    @functools.partial(jax.jit, **jit_kwargs)
-    def render_chunk(rays_o, rays_d):
+    def body(rays_o, rays_d):
         out = _render_rays_dispatch(
             model_fn, rays_o, rays_d, key=None, white_bkgd=white_bkgd,
             strategy=strategy, grid=grid, n_samples=n_samples, n_fine=n_fine,
@@ -274,7 +271,19 @@ def make_chunk_renderer(
             query_stride=query_stride, fused_render_fn=fused_render_fn)
         return out["rgb"], out["depth"]
 
-    return render_chunk
+    jit_kwargs = {}
+    if mesh is not None:
+        from jax.sharding import PartitionSpec as P
+
+        from fsnerf_tpu.parallel.mesh import batch_sharding
+        shard = batch_sharding(mesh)
+        jit_kwargs = dict(in_shardings=(shard, shard))
+        if fused_render_fn is not None:
+            spec = P(tuple(mesh.axis_names))
+            body = jax.shard_map(body, mesh=mesh, in_specs=(spec, spec),
+                                 out_specs=(spec, spec), check_vma=False)
+
+    return jax.jit(body, **jit_kwargs)
 
 
 def render_frame(

@@ -131,9 +131,34 @@ class MetricsLogger:
         if self.wandb:
             self.wandb.log(rec, step=step)
 
+    def log_summary(self, metrics: dict):
+        """Final run metrics (reference wandb.log of psnr/ssim/lpips after
+        evaluation, run-nerf.py:404-413)."""
+        if self.wandb:
+            self.wandb.log({k: v for k, v in metrics.items()
+                            if v is not None})
+
+    def log_video(self, name: str, frames_tchw, fps: int = 30):
+        """Rendered video artifact (uint8 [T, C, H, W] — the reference logs
+        the rgb/depth path renders as wandb mp4s, run-nerf.py:459-468)."""
+        if self.wandb:
+            self.wandb.log({name: self.wandb.Video(frames_tchw, fps=fps,
+                                                   format="mp4")})
+
+    def log_figure(self, name: str, figure):
+        """Plotly/matplotlib figure (the reference's camera-pose plot,
+        run-nerf.py:378-380)."""
+        if self.wandb:
+            self.wandb.log({name: figure})
+
     def close(self):
         if self.fh:
             self.fh.close()
+        if self.wandb:
+            try:
+                self.wandb.finish()
+            except Exception:
+                pass
 
 
 def train(
@@ -202,8 +227,6 @@ def train(
         g = math.gcd(g, b)
     chunk_c = next(d for d in (100, 50, 25, 20, 10, 5, 4, 2, 1)
                    if g % d == 0)
-    if int(state.step) % chunk_c:
-        chunk_c = 1                      # resume mid-chunk: step singly
 
     def build_chunk(c, n):
         sf = build_step(c)
@@ -222,7 +245,10 @@ def train(
     t0 = time.perf_counter()
     k = start
     while k < cfg.train.n_iters:
-        n = min(chunk_c, cfg.train.n_iters - k)
+        # resume from a step off the chunk lattice: one short realignment
+        # chunk, then full chunks (pinning chunk_c to 1 for the whole run
+        # would reintroduce the per-step dispatch stall chunking removes)
+        n = min(chunk_c - k % chunk_c, cfg.train.n_iters - k)
         state, metrics = get_chunk(compactor.apply(cfg), n)(state)
         k += n
         # adaptive compaction observes EVERY chunk (not just log boundaries):

@@ -56,6 +56,8 @@ def resolve_fused_kernel(cfg) -> bool:
     want = cfg.model.fused_kernel
     if want is None:
         want = jax.default_backend() != "cpu"
+    if cfg.encoder.no_dirs:
+        return False                # fused kernels bake in the view branch
     skip = tuple(cfg.model.skip)
     ok_nerf = (cfg.model.model == "nerf"
                and cfg.model.density_activation == "none"

