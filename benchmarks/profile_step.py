@@ -1,10 +1,15 @@
 """Stage-ablation profile of the steady-state training step (TPU).
 
 VERDICT r2 item 2: publish where step time actually goes. Rather than parse
-a trace protobuf, each pipeline stage is timed in isolation at the exact
-steady-state shapes the full step runs at (settled compaction K, converged
-grid). The full chunked step is timed the same way; the residual between the
-stage sum and the full step is dispatch/fusion slack.
+a trace protobuf, each pipeline stage is timed at the exact steady-state
+shapes the full step runs at (settled compaction K, converged grid).
+
+Measurement note: per-dispatch latency through the axon remote path is
+~1.3 ms — an isolated jit call of ANY stage measures mostly dispatch. Each
+stage is therefore timed amortized inside a lax.scan of `SCAN_N`
+applications, with an epsilon data-coupling from iteration to iteration
+(every float input leaf gets `+ s * 1e-32`, keys get fold_in) so XLA can
+neither hoist the stage out of the loop nor overlap iterations.
 
 Run:  python benchmarks/profile_step.py            (~3 min on the v5e chip)
 Output: one table on stdout — paste into BASELINE.md.
@@ -19,6 +24,8 @@ import time
 import jax
 import jax.numpy as jnp
 
+SCAN_N = 100
+
 
 def timeit(fn, *args, reps=30, warmup=3):
     for _ in range(warmup):
@@ -29,6 +36,32 @@ def timeit(fn, *args, reps=30, warmup=3):
         out = fn(*args)
     jax.block_until_ready(out)
     return (time.perf_counter() - t0) / reps
+
+
+def scan_time(fn, *args, reps=5, warmup=2):
+    """Per-application seconds of fn(*args), amortized over a SCAN_N-long
+    serial scan with epsilon coupling (see module docstring)."""
+
+    def perturb(leaf, s, i):
+        leaf = jnp.asarray(leaf)
+        if jnp.issubdtype(leaf.dtype, jax.dtypes.prng_key):
+            return jax.random.fold_in(leaf, i)
+        if jnp.issubdtype(leaf.dtype, jnp.floating):
+            return leaf + (s * 1e-32).astype(leaf.dtype)
+        return leaf
+
+    def body(s, i):
+        a = jax.tree.map(lambda l: perturb(l, s, i), args)
+        out = fn(*a)
+        # consume EVERY output leaf, else XLA dead-codes whole sub-graphs
+        # (e.g. the entire backward pass when only the loss is probed)
+        s2 = sum(jnp.asarray(l).ravel()[0].astype(jnp.float32)
+                 for l in jax.tree.leaves(out))
+        return jnp.where(jnp.isfinite(s2), s2, 0.0) * 1e-20, None
+
+    looped = jax.jit(lambda: jax.lax.scan(body, jnp.float32(0.0),
+                                          jnp.arange(SCAN_N))[0])
+    return timeit(looped, reps=reps, warmup=warmup) / SCAN_N
 
 
 def main():
@@ -100,7 +133,7 @@ def main():
     rows = []
 
     def stage(name, fn, *a, per_step=1.0):
-        t = timeit(jax.jit(fn), *a) * per_step
+        t = scan_time(fn, *a) * per_step
         rows.append((name, t))
         return t
 
