@@ -75,7 +75,10 @@ def main():
                                        make_train_chunk, make_train_step)
 
     batch_size = 1024
-    warm_steps = 900    # past grid warmup (256) + adaptation settling
+    warm_steps = 1200   # past grid warmup (256), adaptation settling, and
+                        # the late refresh-interval switch (1024) — the timed
+                        # window is the steady state a full run spends >85%
+                        # of its steps in
     bench_steps = 600
     chunk = 100
 
@@ -125,8 +128,9 @@ def main():
     # batch + amortized density-only grid refresh) / bf16 peak
     s = cfg.sampling
     train_flops = batch_size * k_settled * 3 * mlp_flops_per_sample(cfg)
+    interval = s.update_interval_late or s.update_interval  # bench window is
     grid_samples = (s.grid_resolution ** 3) * s.grid_levels \
-        / s.update_parts / s.update_interval
+        / s.update_parts / interval                         # post-late-start
     grid_flops = grid_samples * mlp_flops_per_sample(cfg, full=False)
     mfu = steps_per_sec * (train_flops + grid_flops) / V5E_BF16_PEAK_FLOPS
 

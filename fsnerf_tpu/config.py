@@ -118,15 +118,32 @@ class SamplingConfig:
     # (nerfacc early_stop_eps semantics); 0 disables.
     early_stop_eps: float = 1e-4
     # occupancy-query decimation: one grid lookup per group of this many
-    # samples. 0 = auto (largest lossless stride for the scene's cell size,
-    # ops/occgrid.py::auto_query_stride).
+    # samples. 0 = auto (largest lossless stride for the scene's cell size
+    # and the chosen dilation, ops/occgrid.py::resolve_query_plan).
     query_stride: int = 0
+    # Chebyshev dilation radius of the occupancy QUERY tables. Radius r
+    # doubles the lossless query stride per unit (the gather cost is linear
+    # in query count — the dominant non-MLP step cost), at the price of a
+    # conservative r-cell false-positive shell around occupied regions.
+    # None = auto (radius 1 when it buys a larger stride, else 0).
+    query_dilation: Optional[int] = None
+    # Cap for the auto query stride (0 = default 8). Explicit query_stride
+    # ignores this.
+    query_max_stride: int = 0
     render_step_size: float = 5e-3  # reference fixed march step
     grid_resolution: int = 128
     grid_levels: int = 1            # 1 for synthetic, 4 for llff (run-nerf.py:92-93)
     occ_thre: float = 1e-2
     ema_decay: float = 0.95
     update_interval: int = 16
+    # Late-phase refresh interval: once the grid has converged (EMA settled,
+    # step >= update_interval_late_start) the per-cell refresh loop can run
+    # 4x rarer at unchanged quality (full-scale A/B, BASELINE.md r3) —
+    # the refresh density pass is ~13% of steady-state step time at
+    # interval 16. Set update_interval_late=0 (or == update_interval) to
+    # keep nerfacc's fixed 16-step cadence for the whole run.
+    update_interval_late: int = 64
+    update_interval_late_start: int = 1024
     warmup_steps: int = 256
     # Fraction of grid cells refreshed per update after warmup (round-robin,
     # static shapes; nerfacc samples 1/4 of cells per update).
@@ -302,6 +319,17 @@ def config_parser() -> argparse.ArgumentParser:
     g.add_argument("--early_stop_eps", default=1e-4, type=float)
     g.add_argument("--query_stride", default=0, type=int,
                    help="Occupancy-query sample stride (0 = auto)")
+    g.add_argument("--query_dilation", default=None, type=int,
+                   help="Query-table dilation radius (default: auto; each "
+                        "unit doubles the lossless auto query stride)")
+    g.add_argument("--query_max_stride", default=0, type=int,
+                   help="Cap for the auto query stride (0 = 8)")
+    g.add_argument("--update_interval", default=16, type=int,
+                   help="Occupancy-grid refresh interval (nerfacc: 16)")
+    g.add_argument("--update_interval_late", default=64, type=int,
+                   help="Refresh interval after the grid converges "
+                        "(0 = keep update_interval for the whole run)")
+    g.add_argument("--update_interval_late_start", default=1024, type=int)
 
     g = p.add_argument_group("training")
     g.add_argument("--n_iters", default=20**3, type=int)
@@ -383,6 +411,11 @@ _FLAG_MAP = {
     "compact_margin": ("sampling", "compact_margin"),
     "early_stop_eps": ("sampling", "early_stop_eps"),
     "query_stride": ("sampling", "query_stride"),
+    "query_dilation": ("sampling", "query_dilation"),
+    "query_max_stride": ("sampling", "query_max_stride"),
+    "update_interval": ("sampling", "update_interval"),
+    "update_interval_late": ("sampling", "update_interval_late"),
+    "update_interval_late_start": ("sampling", "update_interval_late_start"),
     "n_iters": ("train", "n_iters"),
     "batch_size": ("train", "batch_size"),
     "lro": ("train", "lro"),

@@ -34,34 +34,78 @@ import jax.numpy as jnp
 @flax.struct.dataclass
 class OccGrid:
     occs: jax.Array        # [L, res**3] float32 EMA occupancy values
+    occs_q: Optional[jax.Array]
+                           # [L, res**3] QUERY table: occs max-pooled over a
+                           # (2*query_dilation+1)^2 XY window; None when
+                           # query_dilation == 0 (queries read occs directly
+                           # — an aliased copy would break buffer donation of
+                           # the train state). The Z dilation happens at
+                           # query time as a lane-window max over the
+                           # gathered row — free, no extra table.
     binaries: jax.Array    # [L, res**3] bool (= occs > thre; kept for
                            # diagnostics; queries derive occupancy from
-                           # occs + thre with a single gather)
+                           # occs_q + thre with a single gather)
     thre: jax.Array        # scalar binarization threshold
     base_aabb: jax.Array   # [6]
     resolution: int = flax.struct.field(pytree_node=False, default=128)
     levels: int = flax.struct.field(pytree_node=False, default=1)
+    # Chebyshev dilation radius of the query tables. Radius r makes a query
+    # stride of 2*(r+1)*cell/dt_max lossless (see auto_query_plan): every
+    # sample's cell is within r cells (per axis) of its group's queried
+    # sample's cell, so occupied cells can never be missed — dilation only
+    # adds conservative false-positives at region boundaries.
+    query_dilation: int = flax.struct.field(pytree_node=False, default=0)
 
     @property
     def n_cells(self) -> int:
         return self.resolution ** 3
 
 
-def create(aabb, resolution: int = 128, levels: int = 1) -> OccGrid:
+def create(aabb, resolution: int = 128, levels: int = 1,
+           query_dilation: int = 0) -> OccGrid:
     """Fresh grid, fully occupied (nerfacc starts binaries at zero but its
     sampling only prunes via the sigma callback until the first update; an
     all-occupied start means the first steps sample everywhere, matching the
     effective reference behavior before the grid warms up). thre starts
     negative so occs=0 cells count as occupied until the first update."""
     n = resolution ** 3
+    occs = jnp.zeros((levels, n), jnp.float32)
     return OccGrid(
-        occs=jnp.zeros((levels, n), jnp.float32),
+        occs=occs,
+        occs_q=_dilate_xy(occs, resolution, query_dilation),
         binaries=jnp.ones((levels, n), bool),
         thre=jnp.asarray(-1.0, jnp.float32),
         base_aabb=jnp.asarray(aabb, jnp.float32),
         resolution=resolution,
         levels=levels,
+        query_dilation=query_dilation,
     )
+
+
+def _dilate_xy(occs: jax.Array, res: int, radius: int) -> jax.Array:
+    """Max-pool each level's [res, res, res] volume over a (2r+1)^2 window in
+    the (ix, iy) axes (separable shifted maxima, -inf edge semantics). The
+    iz axis is NOT pooled here: queries gather whole z-rows, so the z window
+    is applied in-register (query-time lane max) at zero HBM cost.
+
+    Returns None at radius 0: queries then read `occs` directly (a separate
+    aliased table would donate the same buffer twice under jit donation)."""
+    if radius <= 0:
+        return None
+    L = occs.shape[0]
+    vol = occs.reshape(L, res, res, res)
+    for axis in (1, 2):
+        for _ in range(radius):
+            lo = jnp.concatenate(
+                [vol[(slice(None),) * axis + (slice(1, None),)],
+                 jnp.full_like(vol[(slice(None),) * axis + (slice(0, 1),)],
+                               -jnp.inf)], axis=axis)
+            hi = jnp.concatenate(
+                [jnp.full_like(vol[(slice(None),) * axis + (slice(0, 1),)],
+                               -jnp.inf),
+                 vol[(slice(None),) * axis + (slice(0, -1),)]], axis=axis)
+            vol = jnp.maximum(vol, jnp.maximum(lo, hi))
+    return vol.reshape(L, res ** 3)
 
 
 def level_aabb(base_aabb: jax.Array, level: int) -> jax.Array:
@@ -113,26 +157,50 @@ def query(grid: OccGrid, x: jax.Array) -> jax.Array:
         row = jnp.where(take, row_l, row)
         z = jnp.where(take, ijk[..., 2], z)
         found = found | inb
-    rows = grid.binaries.reshape(grid.levels * res * res, res)[row]
-    hit = (jax.lax.broadcasted_iota(jnp.int32, rows.shape, rows.ndim - 1)
-           == z[..., None])
-    occ = jnp.sum(rows.astype(jnp.int8) * hit.astype(jnp.int8), axis=-1) > 0
-    return occ & found
+    table = grid.occs_q if grid.occs_q is not None else grid.occs
+    rows = table.reshape(grid.levels * res * res, res)[row]
+    val = _select_z(rows, z, grid.query_dilation)
+    return (val > grid.thre) & found
+
+
+def _select_z(rows: jax.Array, z: jax.Array, radius: int) -> jax.Array:
+    """Per-query value from gathered z-rows: the exact lane at radius 0, the
+    max over lanes [z-radius, z+radius] otherwise (the query-time half of the
+    Chebyshev dilation — the XY half lives in the occs_q table)."""
+    iota = jax.lax.broadcasted_iota(jnp.int32, rows.shape, rows.ndim - 1)
+    if radius <= 0:
+        hit = iota == z[..., None]
+        return jnp.sum(rows * hit.astype(rows.dtype), axis=-1)
+    hit = jnp.abs(iota - z[..., None]) <= radius
+    return jnp.max(jnp.where(hit, rows, -jnp.inf), axis=-1)
 
 
 def auto_query_stride(aabb, resolution: int, step_size: float,
-                      n_samples: int, max_stride: int = 4) -> int:
+                      n_samples: int, max_stride: int = 4,
+                      dilation: int = 0) -> int:
     """Largest safe sample stride for occupancy queries.
 
     Ray samples march at `step_size` but grid cells are typically several
     steps wide, so querying every sample is redundant HBM gather traffic
-    (the dominant render-chunk cost at stride 1). Querying one sample per
-    group of `stride` is provably lossless for any cell at least
-    stride*step_size wide: such a cell covers >= stride consecutive sample
-    indices, and any `stride` consecutive integers contain a multiple of
-    `stride` (the queried one). Cells clipped shorter than that at a ray's
-    corner crossing can be missed — the same quantization nerfacc's fixed-
-    step DDA midpoint sampling has (reference rendering.py:66-74).
+    (the gather cost is LINEAR in row count: ~3 ns/row on v5e — the dominant
+    non-MLP train-step cost and the dominant render-chunk cost at stride 1).
+
+    dilation == 0: querying one sample per group of `stride` is provably
+    lossless for any cell at least stride*step_size wide: such a cell covers
+    >= stride consecutive sample indices, and any `stride` consecutive
+    integers contain a multiple of `stride` (the queried one). Cells clipped
+    shorter than that at a ray's corner crossing can be missed — the same
+    quantization nerfacc's fixed-step DDA midpoint sampling has (reference
+    rendering.py:66-74).
+
+    dilation == r > 0 (query tables Chebyshev-dilated by r cells, see
+    OccGrid.query_dilation): every group member lies within (stride/2)*dt of
+    its queried sample, so its cell index differs by at most
+    ceil((stride/2)*dt / cell) per axis; stride is lossless against the
+    dilated tables whenever (stride/2)*dt_max <= r*cell — i.e. each unit of
+    dilation radius doubles the admissible stride, at the cost of
+    conservative false-positive occupancy one shell of r cells wide around
+    occupied regions.
 
     Static (host) computation: aabb must be concrete (scene metadata).
 
@@ -146,23 +214,46 @@ def auto_query_stride(aabb, resolution: int, step_size: float,
     ext = ab[3:] - ab[:3]
     cell = float(np.min(ext)) / resolution
     dt_max = max(step_size, float(np.linalg.norm(ext)) / n_samples)
+
+    def ok(s: int) -> bool:
+        if dilation > 0:
+            return (s / 2) * dt_max <= dilation * cell
+        return cell >= s * dt_max
+
     s = 1
-    while (s * 2 <= max_stride and cell >= (s * 2) * dt_max
-           and n_samples % (s * 2) == 0):
+    while s * 2 <= max_stride and ok(s * 2) and n_samples % (s * 2) == 0:
         s *= 2
     return s
 
 
+def resolve_query_plan(sampling_cfg, aabb):
+    """(query_stride, query_dilation) for a SamplingConfig + concrete scene
+    aabb. 0 stride in the config = auto: pick the dilation radius in {0, 1}
+    whose admissible stride is larger (ties favor radius 0 — no
+    false-positive shell). Radius 1 doubles the lossless stride, halving the
+    dominant gather cost; measured quality-neutral (the shell only ADDS
+    samples, absorbed by the spread quadrature at unchanged compaction K).
+    """
+    if sampling_cfg.strategy != "occgrid":
+        return 1, 0
+    dil_cfg = getattr(sampling_cfg, "query_dilation", None)
+    if sampling_cfg.query_stride:
+        return int(sampling_cfg.query_stride), int(dil_cfg or 0)
+    args = (aabb, sampling_cfg.grid_resolution,
+            sampling_cfg.render_step_size, sampling_cfg.n_samples)
+    max_stride = int(getattr(sampling_cfg, "query_max_stride", 0) or 8)
+    if dil_cfg is not None:
+        return auto_query_stride(*args, max_stride=max_stride,
+                                 dilation=int(dil_cfg)), int(dil_cfg)
+    s0 = auto_query_stride(*args, max_stride=max_stride, dilation=0)
+    s1 = auto_query_stride(*args, max_stride=max_stride, dilation=1)
+    return (s1, 1) if s1 > s0 else (s0, 0)
+
+
 def resolve_query_stride(sampling_cfg, aabb) -> int:
     """Effective query stride for a SamplingConfig + concrete scene aabb
-    (0 in the config = auto)."""
-    if sampling_cfg.strategy != "occgrid":
-        return 1
-    if sampling_cfg.query_stride:
-        return int(sampling_cfg.query_stride)
-    return auto_query_stride(aabb, sampling_cfg.grid_resolution,
-                             sampling_cfg.render_step_size,
-                             sampling_cfg.n_samples)
+    (0 in the config = auto). The stride half of resolve_query_plan."""
+    return resolve_query_plan(sampling_cfg, aabb)[0]
 
 
 def query_with_density(grid: OccGrid, x: jax.Array):
@@ -196,13 +287,18 @@ def query_with_density(grid: OccGrid, x: jax.Array):
     n2 = grid.levels * res * res
     # ONE gather: occupancy is derived as occ_value > thre (the update
     # stores the binarization threshold), halving query gather traffic.
-    # (Measured: the gather is latency-bound per ROW, not per byte — a bf16
-    # row copy saves nothing and blocks the multiply-reduce fusion; row COUNT
-    # is what matters, hence the query_stride decimation in the renderer.)
-    orows = grid.occs.reshape(n2, res)[row]
-    hit = (jax.lax.broadcasted_iota(jnp.int32, orows.shape, orows.ndim - 1)
-           == z[..., None])
-    val = jnp.sum(orows * hit.astype(orows.dtype), axis=-1)
+    # (Measured: the gather cost is per ROW, ~linear in row count and
+    # insensitive to row width/dtype — row COUNT is what matters, hence the
+    # query_stride decimation in the renderer and the dilated query tables
+    # that double the admissible stride, see auto_query_stride.)
+    # With query_dilation > 0 the value is the Chebyshev-dilated occupancy
+    # max — a conservative over-estimate at region boundaries, which also
+    # makes the early-termination optical depth a slight over-estimate
+    # there; that only affects samples already at transmittance ~eps
+    # (measured quality-neutral at full scale, BASELINE.md r3 study).
+    table = grid.occs_q if grid.occs_q is not None else grid.occs
+    orows = table.reshape(n2, res)[row]
+    val = _select_z(orows, z, grid.query_dilation)
     occ = (val > grid.thre) & found
     return occ, jnp.where(found, val, 0.0)
 
@@ -271,7 +367,27 @@ def update(
     occs = jax.lax.cond(step < warmup_steps, full_update, partial_update,
                         grid.occs)
     thre = jnp.minimum(occ_thre, jnp.mean(occs))
-    return grid.replace(occs=occs, binaries=occs > thre, thre=thre)
+    # The XY-dilated query table is rebuilt over the FULL volume each update
+    # (dilation mixes neighbor cells, so a partial-slice rebuild would go
+    # stale at slice borders): two separable shifted-max passes over the
+    # [L, res^3] volume, ~40 us at res 128 — negligible vs the density eval.
+    occs_q = _dilate_xy(occs, res, grid.query_dilation)
+    return grid.replace(occs=occs, occs_q=occs_q, binaries=occs > thre,
+                        thre=thre)
+
+
+def with_occs(grid: OccGrid, occs: jax.Array, thre) -> OccGrid:
+    """Replace the EMA occupancy values CONSISTENTLY: rebuilds the dilated
+    query table and the diagnostic binaries. Use this (not grid.replace)
+    when injecting occupancy by hand — a bare replace(occs=...) leaves
+    occs_q stale and queries would not see the change."""
+    occs = jnp.asarray(occs, jnp.float32)
+    thre = jnp.asarray(thre, jnp.float32)
+    return grid.replace(
+        occs=occs,
+        occs_q=_dilate_xy(occs, grid.resolution, grid.query_dilation),
+        binaries=occs > thre,
+        thre=thre)
 
 
 def occupancy_fraction(grid: OccGrid) -> jax.Array:

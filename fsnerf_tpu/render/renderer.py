@@ -45,20 +45,47 @@ def to8b(x: np.ndarray) -> np.ndarray:
     return (255 * np.clip(x, 0, 1)).astype(np.uint8)
 
 
+# Ray-block size for the occupancy-query stage at frame scale: the gather
+# materializes [R * S/stride, res] value rows in HBM (~268 MB per 4096 rays
+# at S=512/stride=1/res=128); lax.map over blocks bounds the transient so
+# render chunks can grow to 64k+ rays (the gather is bandwidth/row-count
+# bound — serializing blocks costs nothing).
+_QUERY_BLOCK_RAYS = 4096
+
+
 def _masked_lattice(rays_o, rays_d, grid, n_samples, key,
                     render_step_size, early_stop_eps, query_stride):
     """The occgrid pre-MLP stage: dense sample lattice -> occupancy mask ->
     approximate (grid-EMA) transmittance early termination.
 
-    Returns (t_mid, deltas, mask, x, n_valid) — n_valid is the per-ray
-    surviving-sample count, the adaptive-compaction control signal.
+    Returns (t_mid, deltas, mask, n_valid) — n_valid is the per-ray
+    surviving-sample count, the adaptive-compaction control signal. Sample
+    POSITIONS are not built here: only the strided query points are ever
+    materialized, and the caller reconstructs x for the (compacted) t it
+    actually evaluates — at frame scale the dense [R, S, 3] tensor would be
+    the largest transient of the whole pipeline.
     """
     t_mid, deltas, valid = uniform_samples(
         rays_o, rays_d, og.outer_aabb(grid), n_samples, key=key,
         step_size=render_step_size)
-    x = sample_points(rays_o, rays_d, t_mid)
-    R = x.shape[0]
-    xq = x[:, query_stride // 2::query_stride] if query_stride > 1 else x
+    R = rays_o.shape[0]
+    tq = t_mid[:, query_stride // 2::query_stride] if query_stride > 1 \
+        else t_mid
+
+    def q(args):
+        o, d, t = args
+        return og.query_with_density(grid, sample_points(o, d, t))
+
+    if R > _QUERY_BLOCK_RAYS and R % _QUERY_BLOCK_RAYS == 0:
+        nb = R // _QUERY_BLOCK_RAYS
+        occupied, occ_val = jax.lax.map(
+            q, (rays_o.reshape(nb, _QUERY_BLOCK_RAYS, 3),
+                rays_d.reshape(nb, _QUERY_BLOCK_RAYS, 3),
+                tq.reshape(nb, _QUERY_BLOCK_RAYS, -1)))
+        occupied = occupied.reshape(R, -1)
+        occ_val = occ_val.reshape(R, -1)
+    else:
+        occupied, occ_val = q((rays_o, rays_d, tq))
 
     def expand(g):
         if query_stride == 1:
@@ -67,7 +94,6 @@ def _masked_lattice(rays_o, rays_d, grid, n_samples, key,
             g[..., None], (*g.shape, query_stride)).reshape(R, n_samples)
 
     if early_stop_eps > 0:
-        occupied, occ_val = og.query_with_density(grid, xq)
         occupied, occ_val = expand(occupied), expand(occ_val)
         # occ EMA values approximate sigma * render_step_size per cell
         approx_od = jnp.where(valid, occ_val * (deltas / render_step_size),
@@ -76,9 +102,9 @@ def _masked_lattice(rays_o, rays_d, grid, n_samples, key,
         visible = jnp.exp(-(cum - approx_od)) > early_stop_eps
         mask = valid & occupied & visible
     else:
-        mask = valid & expand(og.query(grid, xq))
+        mask = valid & expand(occupied)
     n_valid = jnp.sum(mask.astype(jnp.float32), axis=-1)
-    return t_mid, deltas, mask, x, n_valid
+    return t_mid, deltas, mask, n_valid
 
 
 def count_valid_samples(
@@ -93,7 +119,7 @@ def count_valid_samples(
     """Per-ray surviving-sample count WITHOUT any model evaluation — used to
     derive an eval-time compaction K from the converged grid (cli.py)."""
     return _masked_lattice(rays_o, rays_d, grid, n_samples, None,
-                           render_step_size, early_stop_eps, query_stride)[4]
+                           render_step_size, early_stop_eps, query_stride)[3]
 
 
 def render_rays_occgrid(
@@ -135,7 +161,7 @@ def render_rays_occgrid(
     Returns:
       dict(rgb, opacity, depth, weights, trans_final, sigmas, t_vals, mask).
     """
-    t_mid, deltas, mask, x, n_valid = _masked_lattice(
+    t_mid, deltas, mask, n_valid = _masked_lattice(
         rays_o, rays_d, grid, n_samples, key, render_step_size,
         early_stop_eps, query_stride)
     if n_compact and n_compact < n_samples:
@@ -143,7 +169,7 @@ def render_rays_occgrid(
         # compaction (2-operand sort instead of 4) applies
         t_mid, deltas, mask = compact_samples_uniform(
             t_mid, deltas[:, 0], mask, n_compact)
-        x = sample_points(rays_o, rays_d, t_mid)
+    x = sample_points(rays_o, rays_d, t_mid)
     bkgd_ = 1.0 if white_bkgd else 0.0
     if fused_render_fn is not None:
         # depth-coherence sort: the fused kernel skips GEMMs per

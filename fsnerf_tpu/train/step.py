@@ -178,6 +178,8 @@ def maybe_update_grid(model, cfg, params, grid, step, k_grid):
     def density_fn(x):
         return model.apply(params, x, pos_mask=pos_mask)[..., 0]
 
+    interval = resolve_update_interval(s_cfg, step)
+
     def do_update(g):
         return og.update(
             g, density_fn, k_grid, step,
@@ -185,10 +187,27 @@ def maybe_update_grid(model, cfg, params, grid, step, k_grid):
             occ_thre=s_cfg.occ_thre, ema_decay=s_cfg.ema_decay,
             warmup_steps=s_cfg.warmup_steps,
             update_parts=s_cfg.update_parts,
-            update_interval=s_cfg.update_interval)
+            update_interval=interval)
 
-    return jax.lax.cond(step % s_cfg.update_interval == 0,
-                        do_update, lambda g: g, grid)
+    return jax.lax.cond(step % interval == 0, do_update, lambda g: g, grid)
+
+
+def resolve_update_interval(s_cfg, step):
+    """Effective grid-refresh interval at `step` (traced-safe).
+
+    nerfacc refreshes every 16 steps for the whole run (reference
+    run-nerf.py:287-295); once the grid's EMA has converged that cadence
+    buys nothing — the density pass costs ~13% of steady-state step time —
+    so after update_interval_late_start the interval switches to
+    update_interval_late (full-scale quality A/B in BASELINE.md r3).
+    The late interval must be a multiple of the early one so the switch
+    lands on a refresh boundary.
+    """
+    early = s_cfg.update_interval
+    late = s_cfg.update_interval_late
+    if not late or late == early:
+        return early
+    return jnp.where(step >= s_cfg.update_interval_late_start, late, early)
 
 
 def make_train_step(
@@ -263,7 +282,8 @@ def init_state(model, cfg, optimizer, aabb, key) -> TrainState:
                                      if key is None else key)
     params = init_params(model, k_init)
     opt_state = optimizer.init(params)
+    _, q_dilation = og.resolve_query_plan(cfg.sampling, aabb)
     grid = og.create(aabb, cfg.sampling.grid_resolution,
-                     cfg.sampling.grid_levels)
+                     cfg.sampling.grid_levels, query_dilation=q_dilation)
     return TrainState(params=params, opt_state=opt_state, grid=grid,
                       step=jnp.zeros((), jnp.int32), key=k_run)

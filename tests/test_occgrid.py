@@ -54,8 +54,8 @@ def test_query_outside_all_levels_is_false():
 def test_multilevel_query_prefers_finest():
     grid = og.create(AABB, resolution=8, levels=2)
     # empty the fine level, keep the coarse level occupied
-    binaries = grid.binaries.at[0].set(False)
-    grid = grid.replace(binaries=binaries)
+    occs = grid.occs.at[0].set(0.0).at[1].set(1.0)
+    grid = og.with_occs(grid, occs, thre=0.5)
     # point inside level 0 -> classified by level 0 -> not occupied
     assert not bool(og.query(grid, jnp.array([[0.0, 0.0, 0.0]]))[0])
     # point outside level 0 but inside level 1 -> occupied
@@ -163,9 +163,7 @@ def test_query_stride_render_equivalence():
     centers = -1.5 + (ijk + 0.5) / res * 3.0
     r = np.linalg.norm(centers, axis=-1)
     occs = np.where(np.abs(r - 1.0) < 0.3, 0.05, 0.0).astype(np.float32)
-    grid = grid.replace(occs=jnp.asarray(occs[None]),
-                        binaries=jnp.asarray(occs[None] > 1e-2),
-                        thre=jnp.asarray(1e-2))
+    grid = og.with_occs(grid, occs[None], thre=1e-2)
 
     rng = np.random.default_rng(0)
     o = rng.normal(size=(64, 3)); o = o / np.linalg.norm(o, -1, keepdims=True) * 4
@@ -184,3 +182,108 @@ def test_query_stride_render_equivalence():
                                np.asarray(outs[1]["rgb"]), atol=0.02)
     agree = np.mean(np.asarray(outs[0]["mask"] == outs[1]["mask"]))
     assert agree > 0.97, agree
+
+
+def test_dilate_xy_matches_manual_maxfilter():
+    """occs_q == (2r+1)^2 XY max filter of occs, per level, -inf edges."""
+    rng = np.random.default_rng(3)
+    res, L = 8, 2
+    occs = rng.uniform(size=(L, res ** 3)).astype(np.float32)
+    got = np.asarray(og._dilate_xy(jnp.asarray(occs), res, 1))
+    vol = occs.reshape(L, res, res, res)
+    want = np.full_like(vol, -np.inf)
+    for dx in (-1, 0, 1):
+        for dy in (-1, 0, 1):
+            sx = slice(max(0, dx), res + min(0, dx))
+            sy = slice(max(0, dy), res + min(0, dy))
+            tx = slice(max(0, -dx), res + min(0, -dx))
+            ty = slice(max(0, -dy), res + min(0, -dy))
+            want[:, tx, ty, :] = np.maximum(want[:, tx, ty, :],
+                                            vol[:, sx, sy, :])
+    np.testing.assert_allclose(got, want.reshape(L, res ** 3), rtol=1e-6)
+
+
+def test_dilated_query_is_conservative():
+    """With query_dilation=1, querying from ANY position displaced <= 1 cell
+    per axis from a sample must still see the sample's own occupancy — the
+    guarantee that makes stride 2*s0 lossless (auto_query_stride)."""
+    rng = np.random.default_rng(7)
+    res = 16
+    grid = og.create(AABB, resolution=res, levels=1, query_dilation=1)
+    occs = (rng.uniform(size=(1, res ** 3)) < 0.1).astype(np.float32) * 0.05
+    grid = og.with_occs(grid, occs, thre=1e-2)
+    grid0 = og.create(AABB, resolution=res, levels=1, query_dilation=0)
+    grid0 = og.with_occs(grid0, occs, thre=1e-2)
+
+    cell = 3.0 / res
+    # points strictly inside the AABB with >= 1-cell margin so displaced
+    # queries stay in-bounds
+    x = jnp.asarray(rng.uniform(-1.5 + 1.5 * cell, 1.5 - 1.5 * cell,
+                                size=(512, 3)), jnp.float32)
+    occ_exact = np.asarray(og.query(grid0, x))
+    for _ in range(4):
+        delta = rng.uniform(-cell, cell, size=(512, 3)).astype(np.float32)
+        occ_dil = np.asarray(og.query(grid, x + jnp.asarray(delta)))
+        # every exactly-occupied sample is seen by the displaced dilated query
+        assert (occ_dil | ~occ_exact).all()
+
+
+def test_resolve_query_plan_auto_picks_dilated_stride():
+    from fsnerf_tpu.config import SamplingConfig
+    aabb = [-1.5, -1.5, -1.5, 1.5, 1.5, 1.5]
+    s = SamplingConfig()          # defaults: res 128, 512 samples, auto
+    assert og.resolve_query_plan(s, aabb) == (4, 1)
+    # dilation pinned to 0 -> the plain lossless stride
+    s0 = SamplingConfig(query_dilation=0)
+    assert og.resolve_query_plan(s0, aabb) == (2, 0)
+    # explicit stride passes through
+    se = SamplingConfig(query_stride=2)
+    assert og.resolve_query_plan(se, aabb) == (2, 0)
+    # hierarchical never strides
+    sh = SamplingConfig(strategy="hierarchical")
+    assert og.resolve_query_plan(sh, aabb) == (1, 0)
+    # resolve_query_stride stays the stride half
+    assert og.resolve_query_stride(s, aabb) == 4
+
+
+def test_stride4_dilated_mask_supersets_stride1():
+    """Occupied samples found at stride 1 (undilated) are never lost at
+    stride 4 against the radius-1 dilated tables; rendered rgb matches."""
+    from fsnerf_tpu.render.renderer import render_rays_occgrid
+
+    res = 16
+    rng = np.random.default_rng(0)
+    ijk = np.stack(np.meshgrid(*[np.arange(res)] * 3, indexing="ij"),
+                   -1).reshape(-1, 3)
+    centers = -1.5 + (ijk + 0.5) / res * 3.0
+    r = np.linalg.norm(centers, axis=-1)
+    occs = np.where(np.abs(r - 1.0) < 0.3, 0.05, 0.0).astype(np.float32)
+
+    g1 = og.with_occs(og.create(AABB, resolution=res, levels=1),
+                      occs[None], thre=1e-2)
+    g4 = og.with_occs(og.create(AABB, resolution=res, levels=1,
+                                query_dilation=1), occs[None], thre=1e-2)
+
+    o = rng.normal(size=(64, 3))
+    o = o / np.linalg.norm(o, -1, keepdims=True) * 4
+    d = -o / np.linalg.norm(o, -1, keepdims=True)
+    o = jnp.asarray(o, jnp.float32)
+    d = jnp.asarray(d, jnp.float32)
+
+    def mf(x, dirs=None):
+        sig = jnp.exp(-jnp.sum(x * x, -1, keepdims=True))
+        return jnp.concatenate([0.5 * jnp.ones((*x.shape[:-1], 3)), sig], -1)
+
+    # cell = 3/16 = 0.1875; dt <= max(0.05, diag/64 = 0.081);
+    # radius-1 condition (s/2)*dt <= cell -> stride 4 admissible
+    out1 = render_rays_occgrid(mf, o, d, g1, 64, render_step_size=0.05,
+                               white_bkgd=True, query_stride=1,
+                               early_stop_eps=0.0)
+    out4 = render_rays_occgrid(mf, o, d, g4, 64, render_step_size=0.05,
+                               white_bkgd=True, query_stride=4,
+                               early_stop_eps=0.0)
+    m1 = np.asarray(out1["mask"])
+    m4 = np.asarray(out4["mask"])
+    assert (m4 | ~m1).all(), "dilated stride-4 mask lost stride-1 samples"
+    np.testing.assert_allclose(np.asarray(out1["rgb"]),
+                               np.asarray(out4["rgb"]), atol=0.03)
