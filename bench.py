@@ -187,7 +187,8 @@ def main():
     # secondary metric: hierarchical-strategy training throughput (stderr) —
     # BASELINE.json config 2 (classic coarse/fine inverse-CDF resampling),
     # 64 coarse + 128 fine (the classic-NeRF split). Total MLP evals/ray =
-    # 64 + 192 = 256, comparable to the occgrid path's S=512-masked lattice.
+    # 64 + 128 = 192 with the shared-network coarse-output reuse
+    # (render/renderer.py::render_rays_hierarchical).
     h_warm, h_bench = 100, 200
     cfg_h = cfg.replace(
         sampling=SamplingConfig(strategy="hierarchical", n_samples=64,

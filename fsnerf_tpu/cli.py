@@ -160,7 +160,12 @@ def derive_eval_n_compact(grid, split, cfg) -> int:
 def evaluate_split(model, params, grid, split, cfg, chunksize=16384,
                    mesh=None):
     """Final metrics over a split (reference evaluation(),
-    run-nerf.py:108-191)."""
+    run-nerf.py:108-191).
+
+    Returns (metrics dict, uint8 [N, H, W, 3] rendered frames). Rendering
+    and metric evaluation stay on device; the frames cross to the host once,
+    already quantized (4x less transfer than f32 — the device->host path can
+    be the bottleneck on tunneled TPU setups)."""
     from fsnerf_tpu.eval.lpips import load_lpips
     from fsnerf_tpu.eval.metrics import evaluate_frames
     from fsnerf_tpu.render.renderer import make_chunk_renderer, render_frame
@@ -190,11 +195,12 @@ def evaluate_split(model, params, grid, split, cfg, chunksize=16384,
             ndc=split.ndc, white_bkgd=split.white_bkgd, chunksize=chunksize,
             n_compact=cfg.sampling.n_compact,
             chunk_renderer=chunk_renderer, mesh=mesh)
-        preds.append(np.asarray(img))
-    preds = np.stack(preds)
-    lpips_fn = load_lpips()
-    return evaluate_frames(jnp.asarray(preds), jnp.asarray(split.imgs),
-                           lpips_fn), preds
+        preds.append(img)           # stays on device: metrics are computed
+    preds = jnp.stack(preds)        # there, and only scalars (plus the final
+    lpips_fn = load_lpips()         # uint8 frames for disk) cross the host
+    metrics = evaluate_frames(preds, jnp.asarray(split.imgs), lpips_fn)
+    return metrics, np.asarray(jnp.clip(preds * 255, 0, 255)
+                               .astype(jnp.uint8))
 
 
 def save_video(rgb8, dep8, out_dir, fps=30):
@@ -369,6 +375,7 @@ def main(argv=None):
     frames, d_frames = render_path(
         model_fn, jnp.asarray(path), train_split.hwf,
         train_split.near, train_split.far,
+        compact_transfer=True,      # frames are headed to uint8 video anyway
         strategy=cfg.sampling.strategy, grid=state.grid,
         n_samples=cfg.sampling.n_samples, n_fine=cfg.sampling.n_fine,
         render_step_size=cfg.sampling.render_step_size,

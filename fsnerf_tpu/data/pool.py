@@ -32,8 +32,11 @@ class RayPool:
         rgb: np.ndarray,
         sharding=None,
     ):
-        """Args are [N, 3] host arrays; `sharding` optionally places the pool
-        sharded across a mesh (data-parallel training reads its local shard).
+        """Args are [N, 3] host OR device arrays; `sharding` optionally
+        places the pool sharded across a mesh (data-parallel training reads
+        its local shard). Device arrays stay resident — jnp.asarray is a
+        no-op for a matching-dtype device array, so building a pool from
+        device-computed rays moves no bytes through the host.
         """
         assert rays_o.shape == rays_d.shape == rgb.shape
         put = (lambda a: jax.device_put(jnp.asarray(a, jnp.float32), sharding)
@@ -79,5 +82,7 @@ def pool_from_images(
     if ndc:
         o, d = to_ndc(o, d, hwf, 1.0)
     rgb = jnp.asarray(imgs, jnp.float32).reshape(-1, 3)
-    return RayPool(np.asarray(o), np.asarray(d), np.asarray(rgb),
-                   sharding=sharding)
+    # rays stay on device: a np.asarray round trip here would pull ~120 MB
+    # through the host for the 800^2 x 8-view pool (and the axon tunnel's
+    # device->host path can be orders of magnitude slower than host->device)
+    return RayPool(o, d, rgb, sharding=sharding)

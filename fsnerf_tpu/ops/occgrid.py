@@ -35,13 +35,22 @@ import jax.numpy as jnp
 class OccGrid:
     occs: jax.Array        # [L, res**3] float32 EMA occupancy values
     occs_q: Optional[jax.Array]
-                           # [L, res**3] QUERY table: occs max-pooled over a
-                           # (2*query_dilation+1)^2 XY window; None when
+                           # [L, res**3] uint32 PACKED query table: high 16
+                           # bits = the cell's own occ as bf16 (the early-
+                           # termination optical-depth estimate — it must be
+                           # point-accurate: feeding the dilated max into
+                           # the transmittance estimate masks real surfaces
+                           # behind their own dilation shell and collapses
+                           # training, r3 study), low 16 bits = occ
+                           # max-pooled over a (2*query_dilation+1)^2 XY
+                           # window as bf16 (the stride-lossless occupancy
+                           # test). One row gather serves both. None when
                            # query_dilation == 0 (queries read occs directly
-                           # — an aliased copy would break buffer donation of
-                           # the train state). The Z dilation happens at
-                           # query time as a lane-window max over the
-                           # gathered row — free, no extra table.
+                           # — an aliased copy would break buffer donation
+                           # of the train state). The Z dilation of the
+                           # occupancy half happens at query time as a
+                           # lane-window max over the gathered row — free,
+                           # no extra table.
     binaries: jax.Array    # [L, res**3] bool (= occs > thre; kept for
                            # diagnostics; queries derive occupancy from
                            # occs_q + thre with a single gather)
@@ -72,7 +81,7 @@ def create(aabb, resolution: int = 128, levels: int = 1,
     occs = jnp.zeros((levels, n), jnp.float32)
     return OccGrid(
         occs=occs,
-        occs_q=_dilate_xy(occs, resolution, query_dilation),
+        occs_q=_build_query_table(occs, resolution, query_dilation),
         binaries=jnp.ones((levels, n), bool),
         thre=jnp.asarray(-1.0, jnp.float32),
         base_aabb=jnp.asarray(aabb, jnp.float32),
@@ -86,12 +95,7 @@ def _dilate_xy(occs: jax.Array, res: int, radius: int) -> jax.Array:
     """Max-pool each level's [res, res, res] volume over a (2r+1)^2 window in
     the (ix, iy) axes (separable shifted maxima, -inf edge semantics). The
     iz axis is NOT pooled here: queries gather whole z-rows, so the z window
-    is applied in-register (query-time lane max) at zero HBM cost.
-
-    Returns None at radius 0: queries then read `occs` directly (a separate
-    aliased table would donate the same buffer twice under jit donation)."""
-    if radius <= 0:
-        return None
+    is applied in-register (query-time lane max) at zero HBM cost."""
     L = occs.shape[0]
     vol = occs.reshape(L, res, res, res)
     for axis in (1, 2):
@@ -106,6 +110,36 @@ def _dilate_xy(occs: jax.Array, res: int, radius: int) -> jax.Array:
                  vol[(slice(None),) * axis + (slice(0, -1),)]], axis=axis)
             vol = jnp.maximum(vol, jnp.maximum(lo, hi))
     return vol.reshape(L, res ** 3)
+
+
+def _bf16_bits(x: jax.Array) -> jax.Array:
+    """bf16 bit pattern of non-negative f32 values, as uint32 in [0, 2^16)."""
+    b = jax.lax.bitcast_convert_type(x.astype(jnp.bfloat16), jnp.uint16)
+    return b.astype(jnp.uint32)
+
+
+def _build_query_table(occs: jax.Array, res: int,
+                       radius: int) -> Optional[jax.Array]:
+    """Packed uint32 query table (see OccGrid.occs_q): the cell's own occ
+    (bf16, high bits) alongside the XY-dilated occupancy max (bf16, low
+    bits). The dilated half is nudged one bf16 ulp up before rounding so
+    bf16 quantization can never flip an occupied cell below the threshold.
+
+    Returns None at radius 0: queries then read `occs` directly (a separate
+    aliased copy would donate the same buffer twice under jit donation)."""
+    if radius <= 0:
+        return None
+    dil = _dilate_xy(occs, res, radius) * (1.0 + 2.0 ** -8)   # conservative
+    return (_bf16_bits(occs) << 16) | _bf16_bits(dil)
+
+
+def _unpack_query_rows(rows: jax.Array):
+    """(own_occ, dilated_occ) f32 halves of packed uint32 query-table rows."""
+    own = jax.lax.bitcast_convert_type(
+        (rows >> 16).astype(jnp.uint16), jnp.bfloat16).astype(jnp.float32)
+    dil = jax.lax.bitcast_convert_type(
+        (rows & 0xFFFF).astype(jnp.uint16), jnp.bfloat16).astype(jnp.float32)
+    return own, dil
 
 
 def level_aabb(base_aabb: jax.Array, level: int) -> jax.Array:
@@ -157,22 +191,36 @@ def query(grid: OccGrid, x: jax.Array) -> jax.Array:
         row = jnp.where(take, row_l, row)
         z = jnp.where(take, ijk[..., 2], z)
         found = found | inb
-    table = grid.occs_q if grid.occs_q is not None else grid.occs
-    rows = table.reshape(grid.levels * res * res, res)[row]
-    val = _select_z(rows, z, grid.query_dilation)
-    return (val > grid.thre) & found
+    _, dil = _gather_query_values(grid, row, z)
+    return (dil > grid.thre) & found
 
 
-def _select_z(rows: jax.Array, z: jax.Array, radius: int) -> jax.Array:
-    """Per-query value from gathered z-rows: the exact lane at radius 0, the
-    max over lanes [z-radius, z+radius] otherwise (the query-time half of the
-    Chebyshev dilation — the XY half lives in the occs_q table)."""
-    iota = jax.lax.broadcasted_iota(jnp.int32, rows.shape, rows.ndim - 1)
-    if radius <= 0:
+def _gather_query_values(grid: OccGrid, row: jax.Array, z: jax.Array):
+    """ONE whole-z-row gather -> (own_occ, occupancy_value) per query.
+
+    own_occ: the queried cell's own EMA occ (the early-termination optical-
+    depth estimate — must be point-accurate, see OccGrid.occs_q).
+    occupancy_value: the value the `> thre` occupancy test uses — the
+    Chebyshev-dilated max when query_dilation > 0 (XY half from the packed
+    table, Z half as an in-register lane-window max), else own_occ.
+    """
+    res = grid.resolution
+    n2 = grid.levels * res * res
+    radius = grid.query_dilation
+    iota_shape = (*row.shape, res)
+    iota = jax.lax.broadcasted_iota(jnp.int32, iota_shape, len(row.shape))
+    if grid.occs_q is None:
+        rows = grid.occs.reshape(n2, res)[row]
         hit = iota == z[..., None]
-        return jnp.sum(rows * hit.astype(rows.dtype), axis=-1)
-    hit = jnp.abs(iota - z[..., None]) <= radius
-    return jnp.max(jnp.where(hit, rows, -jnp.inf), axis=-1)
+        own = jnp.sum(rows * hit.astype(rows.dtype), axis=-1)
+        return own, own
+    rows = grid.occs_q.reshape(n2, res)[row]
+    own_rows, dil_rows = _unpack_query_rows(rows)
+    hit = iota == z[..., None]
+    own = jnp.sum(own_rows * hit.astype(own_rows.dtype), axis=-1)
+    win = jnp.abs(iota - z[..., None]) <= radius
+    dil = jnp.max(jnp.where(win, dil_rows, -jnp.inf), axis=-1)
+    return own, dil
 
 
 def auto_query_stride(aabb, resolution: int, step_size: float,
@@ -284,23 +332,18 @@ def query_with_density(grid: OccGrid, x: jax.Array):
         row = jnp.where(take, row_l, row)
         z = jnp.where(take, ijk[..., 2], z)
         found = found | inb
-    n2 = grid.levels * res * res
-    # ONE gather: occupancy is derived as occ_value > thre (the update
-    # stores the binarization threshold), halving query gather traffic.
-    # (Measured: the gather cost is per ROW, ~linear in row count and
-    # insensitive to row width/dtype — row COUNT is what matters, hence the
-    # query_stride decimation in the renderer and the dilated query tables
-    # that double the admissible stride, see auto_query_stride.)
-    # With query_dilation > 0 the value is the Chebyshev-dilated occupancy
-    # max — a conservative over-estimate at region boundaries, which also
-    # makes the early-termination optical depth a slight over-estimate
-    # there; that only affects samples already at transmittance ~eps
-    # (measured quality-neutral at full scale, BASELINE.md r3 study).
-    table = grid.occs_q if grid.occs_q is not None else grid.occs
-    orows = table.reshape(n2, res)[row]
-    val = _select_z(orows, z, grid.query_dilation)
-    occ = (val > grid.thre) & found
-    return occ, jnp.where(found, val, 0.0)
+    # ONE gather serves both outputs: occupancy is derived as
+    # dilated_value > thre (the update stores the binarization threshold) and
+    # the od estimate is the cell's OWN occ, unpacked from the same packed
+    # row (see OccGrid.occs_q — the dilated max must never feed the
+    # transmittance estimate). Measured: the gather cost is per ROW, ~linear
+    # in row count and insensitive to row width/dtype — row COUNT is what
+    # matters, hence the query_stride decimation in the renderer and the
+    # dilated occupancy test that doubles the admissible stride
+    # (auto_query_stride).
+    own, dil = _gather_query_values(grid, row, z)
+    occ = (dil > grid.thre) & found
+    return occ, jnp.where(found, own, 0.0)
 
 
 def _cell_positions(
@@ -367,11 +410,11 @@ def update(
     occs = jax.lax.cond(step < warmup_steps, full_update, partial_update,
                         grid.occs)
     thre = jnp.minimum(occ_thre, jnp.mean(occs))
-    # The XY-dilated query table is rebuilt over the FULL volume each update
+    # The packed query table is rebuilt over the FULL volume each update
     # (dilation mixes neighbor cells, so a partial-slice rebuild would go
-    # stale at slice borders): two separable shifted-max passes over the
-    # [L, res^3] volume, ~40 us at res 128 — negligible vs the density eval.
-    occs_q = _dilate_xy(occs, res, grid.query_dilation)
+    # stale at slice borders): two separable shifted-max passes + the bf16
+    # pack over the [L, res^3] volume — negligible vs the density eval.
+    occs_q = _build_query_table(occs, res, grid.query_dilation)
     return grid.replace(occs=occs, occs_q=occs_q, binaries=occs > thre,
                         thre=thre)
 
@@ -385,7 +428,8 @@ def with_occs(grid: OccGrid, occs: jax.Array, thre) -> OccGrid:
     thre = jnp.asarray(thre, jnp.float32)
     return grid.replace(
         occs=occs,
-        occs_q=_dilate_xy(occs, grid.resolution, grid.query_dilation),
+        occs_q=_build_query_table(occs, grid.resolution,
+                                  grid.query_dilation),
         binaries=occs > thre,
         thre=thre)
 

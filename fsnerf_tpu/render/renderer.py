@@ -31,8 +31,10 @@ import numpy as np
 from fsnerf_tpu.data.rays import get_rays, to_ndc
 from fsnerf_tpu.ops import occgrid as og
 from fsnerf_tpu.ops.sampling import (
+    _deltas_from_t,
     compact_samples_uniform,
     hierarchical_samples,
+    sample_pdf,
     sample_points,
     stratified_samples,
     uniform_samples,
@@ -212,9 +214,21 @@ def render_rays_hierarchical(
     BASELINE.json config 2. `coarse_model_fn` defaults to `model_fn` (shared
     network for both passes — the reference project has a single MLP).
 
+    With the shared network the fine pass does NOT re-evaluate the model at
+    the coarse positions: the same network at the same positions returns the
+    same outputs, so the coarse pass's [R, C] outputs are merged with the
+    [R, F] new-fine-sample outputs by a payload sort on t (exact — a sort
+    permutes, it never recomputes; gradients flow through both uses exactly
+    as they would through a re-evaluation). This cuts the MLP work per ray
+    from C + (C+F) to C + F samples — the hierarchical path is MLP-bound,
+    so that is a ~1.3x step-time lever at the default 64+128 config. When a
+    DISTINCT `coarse_model_fn` is supplied, the classic two-network
+    semantics apply and the fine network evaluates the full union.
+
     Returns:
       (coarse_out, fine_out) dicts as in render_rays_occgrid.
     """
+    shared = coarse_model_fn is None
     coarse_fn = coarse_model_fn or model_fn
     k1 = k2 = None
     if key is not None:
@@ -230,12 +244,28 @@ def render_rays_hierarchical(
     coarse.update(sigmas=out4_c[..., 3], t_vals=t_c, mask=None)
 
     w = jax.lax.stop_gradient(coarse["weights"])
-    t_f, d_f = hierarchical_samples(k2, t_c, w, n_fine, far)
-    x_f = sample_points(rays_o, rays_d, t_f)
-    dirs_f = jnp.broadcast_to(rays_d[:, None, :], x_f.shape)
-    out4_f = model_fn(x_f, dirs_f).astype(jnp.float32)
-    fine = volume_render(out4_f[..., 3], out4_f[..., :3], t_f, d_f, None, bkgd)
-    fine.update(sigmas=out4_f[..., 3], t_vals=t_f, mask=None)
+    if shared:
+        # new fine samples only; merge with the cached coarse outputs
+        mids = 0.5 * (t_c[..., 1:] + t_c[..., :-1])
+        t_new = sample_pdf(k2, mids, w[..., 1:-1], n_fine)       # [R, F]
+        x_new = sample_points(rays_o, rays_d, t_new)
+        dirs_new = jnp.broadcast_to(rays_d[:, None, :], x_new.shape)
+        out4_new = model_fn(x_new, dirs_new).astype(jnp.float32)
+        t_cat = jnp.concatenate([t_c, t_new], axis=-1)           # [R, C+F]
+        o_cat = jnp.concatenate([out4_c, out4_new], axis=-2)
+        t_f, r0, r1, r2, sig = jax.lax.sort(
+            (t_cat, o_cat[..., 0], o_cat[..., 1], o_cat[..., 2],
+             o_cat[..., 3]), dimension=-1, num_keys=1)
+        rgb_f = jnp.stack([r0, r1, r2], axis=-1)
+        d_f = _deltas_from_t(t_f, far)
+    else:
+        t_f, d_f = hierarchical_samples(k2, t_c, w, n_fine, far)
+        x_f = sample_points(rays_o, rays_d, t_f)
+        dirs_f = jnp.broadcast_to(rays_d[:, None, :], x_f.shape)
+        out4_f = model_fn(x_f, dirs_f).astype(jnp.float32)
+        sig, rgb_f = out4_f[..., 3], out4_f[..., :3]
+    fine = volume_render(sig, rgb_f, t_f, d_f, None, bkgd)
+    fine.update(sigmas=sig, t_vals=t_f, mask=None)
     return coarse, fine
 
 
@@ -396,14 +426,22 @@ def render_path(
     hwf: Tuple[int, int, float],
     near: float,
     far: float,
+    compact_transfer: bool = False,
     **frame_kwargs,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Render a sequence of poses (reference rendering.py:180-248).
 
     Builds the jitted chunk renderer once and reuses it for every frame.
 
+    `compact_transfer`: quantize on device before the device->host pull —
+    rgb to uint8 (exactly the to8b video quantization), depth to float16
+    (plenty for colormapping). ~3x less transfer; use for video export where
+    frames are headed to uint8 anyway (the device->host path is the
+    bottleneck on tunneled TPU setups, not the render itself).
+
     Returns:
-      frames: [F, H, W, 3] float numpy; d_frames: [F, H, W].
+      frames: [F, H, W, 3] float numpy (uint8 when compact_transfer);
+      d_frames: [F, H, W] (float16 when compact_transfer).
     """
     H, W, _ = hwf
     chunksize = frame_kwargs.get("chunksize", 16384)
@@ -426,6 +464,10 @@ def render_path(
         rgb, depth = render_frame(model_fn, pose, hwf, near, far,
                                   chunk_renderer=chunk_renderer,
                                   **frame_kwargs)
+        if compact_transfer:
+            # device-side to8b (same truncation semantics)
+            rgb = (255.0 * jnp.clip(rgb, 0.0, 1.0)).astype(jnp.uint8)
+            depth = depth.astype(jnp.float16)
         frames.append(np.asarray(rgb))
         d_frames.append(np.asarray(depth))
     return np.stack(frames, 0), np.stack(d_frames, 0)
@@ -447,7 +489,8 @@ def render_video(
     mapper = cm.ScalarMappable(norm=norm, cmap=cmap)
     d_rgba = mapper.to_rgba(d_frames.flatten())
     d_rgba = np.reshape(d_rgba, list(d_frames.shape[:3]) + [-1])
+    rgb8 = frames if frames.dtype == np.uint8 else to8b(frames)
     return (
-        np.transpose(to8b(frames), (0, 3, 1, 2)),
+        np.transpose(rgb8, (0, 3, 1, 2)),
         np.transpose(to8b(d_rgba[..., :3]), (0, 3, 1, 2)),
     )

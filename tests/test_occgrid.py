@@ -287,3 +287,30 @@ def test_stride4_dilated_mask_supersets_stride1():
     assert (m4 | ~m1).all(), "dilated stride-4 mask lost stride-1 samples"
     np.testing.assert_allclose(np.asarray(out1["rgb"]),
                                np.asarray(out4["rgb"]), atol=0.03)
+
+
+def test_dilated_od_estimate_is_point_accurate():
+    """The early-termination value (query_with_density's second output) must
+    be the queried cell's OWN occ — NOT the dilated max. Feeding the dilated
+    max into the transmittance estimate masks real surfaces behind their own
+    dilation shell and collapses training (r3 full-scale study: held-out
+    PSNR 13.1 vs 29.2). bf16 pack quantization tolerance applies."""
+    rng = np.random.default_rng(11)
+    res = 16
+    occs = rng.uniform(size=(1, res ** 3)).astype(np.float32)
+    g0 = og.with_occs(og.create(AABB, resolution=res, levels=1),
+                      occs, thre=0.5)
+    g1 = og.with_occs(og.create(AABB, resolution=res, levels=1,
+                                query_dilation=1), occs, thre=0.5)
+    cell = 3.0 / res
+    x = jnp.asarray(rng.uniform(-1.5 + cell, 1.5 - cell, size=(256, 3)),
+                    jnp.float32)
+    _, v0 = og.query_with_density(g0, x)
+    _, v1 = og.query_with_density(g1, x)
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(v0),
+                               rtol=2 ** -8, atol=1e-6)
+    # while the OCCUPANCY test uses the dilated max: anywhere the undilated
+    # query is occupied, the dilated one must be too
+    occ0 = np.asarray(og.query(g0, x))
+    occ1 = np.asarray(og.query(g1, x))
+    assert (occ1 | ~occ0).all()

@@ -165,3 +165,34 @@ def test_derive_eval_n_compact_from_converged_grid():
     cfg2 = cfg.replace(sampling=dataclasses.replace(cfg.sampling,
                                                     adapt_compact=False))
     assert derive_eval_n_compact(_grid(), _Split(), cfg2) == 96
+
+
+def test_hierarchical_shared_reuse_matches_union_eval():
+    """Shared-network hierarchical rendering reuses the coarse outputs via a
+    payload merge-sort instead of re-evaluating the union; passing the SAME
+    function as a distinct coarse_model_fn forces the classic full-union
+    evaluation — the two must agree (same positions through the same model)."""
+    from fsnerf_tpu.render.renderer import render_rays_hierarchical
+
+    rng = np.random.default_rng(5)
+    o = rng.normal(size=(32, 3))
+    o = o / np.linalg.norm(o, axis=-1, keepdims=True) * 4.0
+    d = -o / np.linalg.norm(o, axis=-1, keepdims=True)
+    o = jnp.asarray(o, jnp.float32)
+    d = jnp.asarray(d, jnp.float32)
+
+    for key in (None, jax.random.key(3)):
+        c_new, f_new = render_rays_hierarchical(
+            _analytic_model, o, d, 2.0, 6.0, 32, 64, key=key,
+            white_bkgd=True)
+        c_old, f_old = render_rays_hierarchical(
+            _analytic_model, o, d, 2.0, 6.0, 32, 64, key=key,
+            white_bkgd=True, coarse_model_fn=_analytic_model)
+        np.testing.assert_allclose(np.asarray(c_new["rgb"]),
+                                   np.asarray(c_old["rgb"]), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(f_new["t_vals"]),
+                                   np.asarray(f_old["t_vals"]), atol=1e-6)
+        np.testing.assert_allclose(np.asarray(f_new["rgb"]),
+                                   np.asarray(f_old["rgb"]), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(f_new["depth"]),
+                                   np.asarray(f_old["depth"]), atol=1e-4)
