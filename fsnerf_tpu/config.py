@@ -54,6 +54,13 @@ class ModelConfig:
     # quality (3-seed study + A/B, BASELINE.md) — OFF on the CPU backend
     # where Mosaic kernels cannot compile. --no_fused_kernel forces off.
     fused_kernel: Optional[bool] = None
+    # Fused-train-kernel backward mode: save the trunk activation chain to
+    # HBM in the forward and skip the trunk recompute in the backward
+    # (ops/pallas/mlp_train.py). Gradients are bitwise identical either
+    # way; default ON — measured +7.9% train throughput on v5e (298k ->
+    # 321k rays/s, BASELINE.md r3). --no_fused_save_acts restores the
+    # zero-HBM recompute backward.
+    fused_save_acts: bool = True
     # Use the fused ray-march render kernel (ops/pallas/render.py: MLP +
     # compositing + exact early exit in one kernel) for eval/video rendering.
     # Applies to NeRF model + occgrid strategy + single-chip (silently falls
@@ -287,6 +294,12 @@ def config_parser() -> argparse.ArgumentParser:
                         "with a plain NeRF)")
     g.add_argument("--no_fused_kernel", action="store_true",
                    help="Force the fused Pallas MLP kernels off")
+    g.add_argument("--no_fused_save_acts", action="store_false",
+                   dest="fused_save_acts", default=True,
+                   help="Fused train kernel: recompute the trunk in the "
+                        "backward instead of saving the activation chain "
+                        "to HBM (identical gradients; saved-acts default "
+                        "is +7.9%% on v5e, see BASELINE.md)")
     g.add_argument("--no_fused_render", action="store_true",
                    help="Disable the fused MLP+composite+early-exit render "
                         "kernel for eval/video (on by default for nerf + "
@@ -392,6 +405,7 @@ _FLAG_MAP = {
     "n_layers": ("model", "n_layers"),
     "density_activation": ("model", "density_activation"),
     "fused_kernel": ("model", "fused_kernel"),
+    "fused_save_acts": ("model", "fused_save_acts"),
     "dataset": ("data", "dataset"),
     "scene": ("data", "scene"),
     "n_imgs": ("data", "n_imgs"),

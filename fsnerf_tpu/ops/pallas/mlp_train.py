@@ -21,7 +21,7 @@ validated on hardware.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -33,6 +33,25 @@ from fsnerf_tpu.ops.pallas.mlp import _round_up, prep_params  # noqa: F401
 
 def _sigmoid(x):
     return jax.nn.sigmoid(x)
+
+
+def _heads_compute(h_last, encd, ws):
+    """Head stack from the last trunk activation: (feat, br, rgb).
+
+    Shared by the forward pass and the saved-activations backward, which
+    recomputes ONLY the heads (3 small GEMMs, ~0.2 MFLOP/sample) from the
+    HBM-saved trunk chain instead of re-running the whole trunk (~1.0
+    MFLOP/sample)."""
+    f32 = jnp.float32
+    feat = (jnp.dot(h_last, ws["w_conn"], preferred_element_type=f32)
+            + ws["b_conn"].astype(f32)).astype(jnp.bfloat16)
+    br_pre = (jnp.dot(feat, ws["w_branch_h"], preferred_element_type=f32)
+              + jnp.dot(encd, ws["w_branch_d"], preferred_element_type=f32)
+              + ws["b_branch"].astype(f32))
+    br = jnp.maximum(br_pre, 0.0).astype(jnp.bfloat16)
+    rgb_pre = (jnp.dot(br, ws["w_rgb"], preferred_element_type=f32)
+               + ws["b_rgb"].astype(f32))
+    return feat, br, _sigmoid(rgb_pre)
 
 
 def _fwd_compute(encx, encd, ws, n_layers, skip, save=False):
@@ -61,15 +80,7 @@ def _fwd_compute(encx, encd, ws, n_layers, skip, save=False):
 
     sigma = (jnp.dot(h, ws["w_sigma"], preferred_element_type=f32)
              + ws["b_sigma"].astype(f32))
-    feat = (jnp.dot(h, ws["w_conn"], preferred_element_type=f32)
-            + ws["b_conn"].astype(f32)).astype(jnp.bfloat16)
-    br_pre = (jnp.dot(feat, ws["w_branch_h"], preferred_element_type=f32)
-              + jnp.dot(encd, ws["w_branch_d"], preferred_element_type=f32)
-              + ws["b_branch"].astype(f32))
-    br = jnp.maximum(br_pre, 0.0).astype(jnp.bfloat16)
-    rgb_pre = (jnp.dot(br, ws["w_rgb"], preferred_element_type=f32)
-               + ws["b_rgb"].astype(f32))
-    rgb = _sigmoid(rgb_pre)
+    feat, br, rgb = _heads_compute(h, encd, ws)
     if save:
         saved.update(feat=feat, br=br, rgb=rgb)   # relu mask == br > 0
     return rgb, sigma, saved
@@ -126,28 +137,14 @@ def _dot_bT(a, w):
                                preferred_element_type=jnp.float32)
 
 
-def _bwd_kernel(n_layers, skip, names, *refs):
-    """refs = (encx, encd, dout128, *weights, *dweight_outs).
-
-    dout128: upstream cotangent padded to 128 lanes
-    (lanes 0..2 = d rgb, lane 3 = d sigma).
-    """
-    encx_ref, encd_ref, dout_ref = refs[0], refs[1], refs[2]
-    ws = {n: refs[3 + i][:] for i, n in enumerate(names)}
-    douts = {n: refs[3 + len(names) + i] for i, n in enumerate(names)}
-
-    @pl.when(pl.program_id(0) == 0)
-    def _init():
-        for n in names:
-            douts[n][:] = jnp.zeros_like(douts[n])
-
+def _bwd_grads(n_layers, skip, names, ws, douts, encx, encd, dout, sv):
+    """Gradient math shared by the recompute and saved-activation backward
+    kernels: accumulate weight/bias grads into `douts` from the activations
+    in `sv` (keys: h list, feat, br, rgb) and the upstream cotangent `dout`
+    ([BN, 128] f32: lanes 0..2 = d rgb, lane 3 = d sigma)."""
     f32 = jnp.float32
     bf16 = jnp.bfloat16
-    encx = encx_ref[:]
-    encd = encd_ref[:]
-    rgb, sigma, sv = _fwd_compute(encx, encd, ws, n_layers, skip, save=True)
-
-    dout = dout_ref[:]                           # [BN, 128] f32
+    rgb = sv["rgb"]
     lane = jax.lax.broadcasted_iota(jnp.int32, dout.shape, 1)
 
     # rgb head: sigmoid backward in lanes 0..2 (rgb's padded cols are
@@ -195,72 +192,165 @@ def _bwd_kernel(n_layers, skip, names, *refs):
             dh = _dot_bT(dh.astype(bf16), ws[f"t{i}"])
 
 
+def _bwd_kernel(n_layers, skip, names, *refs):
+    """Recompute backward: refs = (encx, encd, dout128, *weights,
+    *dweight_outs). The whole forward is re-run per row-block in VMEM (zero
+    activation HBM traffic)."""
+    encx_ref, encd_ref, dout_ref = refs[0], refs[1], refs[2]
+    ws = {n: refs[3 + i][:] for i, n in enumerate(names)}
+    douts = {n: refs[3 + len(names) + i] for i, n in enumerate(names)}
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        for n in names:
+            douts[n][:] = jnp.zeros_like(douts[n])
+
+    encx = encx_ref[:]
+    encd = encd_ref[:]
+    _, _, sv = _fwd_compute(encx, encd, ws, n_layers, skip, save=True)
+    _bwd_grads(n_layers, skip, names, ws, douts, encx, encd, dout_ref[:], sv)
+
+
+def _fwd_kernel_save(n_layers, skip, names, *refs):
+    """Forward kernel that ALSO streams the trunk activation chain to HBM
+    (acts_ref [BN, n_layers*D] bf16) for the saved-activations backward."""
+    encx_ref, encd_ref = refs[0], refs[1]
+    ws = {n: refs[2 + i][:] for i, n in enumerate(names)}
+    out_ref, acts_ref = refs[2 + len(names)], refs[3 + len(names)]
+    rgb, sigma, sv = _fwd_compute(encx_ref[:], encd_ref[:], ws,
+                                  n_layers, skip, save=True)
+    D = ws["w_conn"].shape[0]
+    for i, h_i in enumerate(sv["h"]):
+        acts_ref[:, i * D:(i + 1) * D] = h_i
+    out_ref[:, 0:3] = rgb[:, 0:3]
+    out_ref[:, 3:4] = sigma[:, 0:1]
+
+
+def _bwd_kernel_saved(n_layers, skip, names, *refs):
+    """Saved-activations backward: refs = (encx, encd, dout128, acts,
+    *weights, *dweight_outs). Reads the trunk chain saved by
+    _fwd_kernel_save and recomputes only the head stack (~0.2 vs ~1.0
+    MFLOP/sample) — cuts executed backward FLOPs by the full trunk forward
+    at the price of streaming [BN, n_layers*D] bf16 through HBM (DMA
+    overlaps the grad GEMMs)."""
+    encx_ref, encd_ref, dout_ref, acts_ref = refs[0], refs[1], refs[2], refs[3]
+    ws = {n: refs[4 + i][:] for i, n in enumerate(names)}
+    douts = {n: refs[4 + len(names) + i] for i, n in enumerate(names)}
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        for n in names:
+            douts[n][:] = jnp.zeros_like(douts[n])
+
+    encd = encd_ref[:]
+    acts = acts_ref[:]
+    D = ws["w_conn"].shape[0]
+    h = [acts[:, i * D:(i + 1) * D] for i in range(n_layers)]
+    feat, br, rgb = _heads_compute(h[-1], encd, ws)
+    sv = {"h": h, "feat": feat, "br": br, "rgb": rgb}
+    _bwd_grads(n_layers, skip, names, ws, douts, encx_ref[:], encd,
+               dout_ref[:], sv)
+
+
 def make_fused_train_mlp(n_layers: int, skip: Tuple[int, ...],
-                         block_rows: int = 1024, interpret: bool = False):
+                         block_rows: int = 1024, interpret: bool = False,
+                         save_acts: bool = False):
     """Build a custom-VJP fused MLP: (flat_weights, encx, encd) -> [N, 4].
 
     flat_weights order = _weight_names(n_layers, skip); shapes as produced by
     prep_params (padded, bf16). encx/encd must be pre-padded to
     (N multiple of block_rows, d_enc_pad / d_dir_pad) bf16.
+
+    save_acts: stream the trunk activation chain ([N, n_layers*D] bf16) to
+    HBM in the forward and skip the trunk recompute in the backward —
+    trades ~1.0 MFLOP/sample of recompute for ~4 KB/sample of (pipelined)
+    HBM traffic. Gradients are bitwise identical either way (the saved
+    chain IS what a recompute would produce). Callers should drop
+    block_rows (e.g. 512) with save_acts on: the acts block must
+    double-buffer in VMEM next to the resident f32 grad accumulators.
     """
     names = _weight_names(n_layers, skip)
 
+    def row_spec(cols):
+        return pl.BlockSpec((block_rows, cols), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+
     def fwd_call(flat, encx, encd):
         n = encx.shape[0]
-        kern = functools.partial(_fwd_kernel, n_layers, tuple(skip), names)
+        if save_acts:
+            D = flat[names.index("w_conn")].shape[0]
+            kern = functools.partial(_fwd_kernel_save, n_layers,
+                                     tuple(skip), names)
+            out_specs = (row_spec(4), row_spec(n_layers * D))
+            out_shape = (jax.ShapeDtypeStruct((n, 4), jnp.float32),
+                         jax.ShapeDtypeStruct((n, n_layers * D),
+                                              jnp.bfloat16))
+        else:
+            kern = functools.partial(_fwd_kernel, n_layers, tuple(skip),
+                                     names)
+            out_specs = row_spec(4)
+            out_shape = jax.ShapeDtypeStruct((n, 4), jnp.float32)
         return pl.pallas_call(
             kern,
             grid=(n // block_rows,),
             in_specs=[
-                pl.BlockSpec((block_rows, encx.shape[1]), lambda i: (i, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((block_rows, encd.shape[1]), lambda i: (i, 0),
-                             memory_space=pltpu.VMEM),
+                row_spec(encx.shape[1]),
+                row_spec(encd.shape[1]),
                 *[pl.BlockSpec(memory_space=pltpu.VMEM) for _ in flat],
             ],
-            out_specs=pl.BlockSpec((block_rows, 4), lambda i: (i, 0),
-                                   memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((n, 4), jnp.float32),
+            out_specs=out_specs,
+            out_shape=out_shape,
             interpret=interpret,
         )(encx, encd, *flat)
 
-    def bwd_call(flat, encx, encd, dout):
+    def bwd_call(flat, encx, encd, acts, dout):
         n = encx.shape[0]
         # pad the [N, 4] cotangent to 128 lanes for clean in-kernel masking
         dout128 = jnp.pad(dout.astype(jnp.float32), ((0, 0), (0, 124)))
-        kern = functools.partial(_bwd_kernel, n_layers, tuple(skip), names)
         dw_shapes = [jax.ShapeDtypeStruct(w.shape, jnp.float32) for w in flat]
         # accumulated outputs: constant index map keeps each grad block
         # VMEM-resident across grid steps (all operands are 2D)
         dw_specs = [pl.BlockSpec(w.shape, lambda i: (0, 0),
                                  memory_space=pltpu.VMEM) for w in flat]
+        if save_acts:
+            kern = functools.partial(_bwd_kernel_saved, n_layers,
+                                     tuple(skip), names)
+            operands = (encx, encd, dout128, acts)
+            acts_specs = [row_spec(acts.shape[1])]
+        else:
+            kern = functools.partial(_bwd_kernel, n_layers, tuple(skip),
+                                     names)
+            operands = (encx, encd, dout128)
+            acts_specs = []
         return pl.pallas_call(
             kern,
             grid=(n // block_rows,),
             in_specs=[
-                pl.BlockSpec((block_rows, encx.shape[1]), lambda i: (i, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((block_rows, encd.shape[1]), lambda i: (i, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((block_rows, 128), lambda i: (i, 0),
-                             memory_space=pltpu.VMEM),
+                row_spec(encx.shape[1]),
+                row_spec(encd.shape[1]),
+                row_spec(128),
+                *acts_specs,
                 *[pl.BlockSpec(memory_space=pltpu.VMEM) for _ in flat],
             ],
             out_specs=tuple(dw_specs),
             out_shape=tuple(dw_shapes),
             interpret=interpret,
-        )(encx, encd, dout128, *flat)
+        )(*operands, *flat)
 
     @jax.custom_vjp
     def fused(flat, encx, encd):
-        return fwd_call(flat, encx, encd)
+        out = fwd_call(flat, encx, encd)
+        return out[0] if save_acts else out
 
     def fused_fwd(flat, encx, encd):
-        return fwd_call(flat, encx, encd), (flat, encx, encd)
+        if save_acts:
+            out, acts = fwd_call(flat, encx, encd)
+            return out, (flat, encx, encd, acts)
+        return fwd_call(flat, encx, encd), (flat, encx, encd, None)
 
     def fused_bwd(res, dout):
-        flat, encx, encd = res
-        dws = bwd_call(flat, encx, encd, dout)
+        flat, encx, encd, acts = res
+        dws = bwd_call(flat, encx, encd, acts, dout)
         dws = [g.astype(w.dtype) for g, w in zip(dws, flat)]
         return (type(flat)(dws) if isinstance(flat, tuple) else dws,
                 jnp.zeros_like(encx), jnp.zeros_like(encd))
@@ -272,8 +362,9 @@ def make_fused_train_mlp(n_layers: int, skip: Tuple[int, ...],
 def make_fused_train_model_fn(
     model_cfg,
     enc_cfg,
-    block_rows: int = 1024,
+    block_rows: Optional[int] = None,
     interpret: bool = False,
+    save_acts: Optional[bool] = None,
 ):
     """Drop-in trainable model_fn factory for the train step.
 
@@ -281,13 +372,22 @@ def make_fused_train_model_fn(
     params runs through the Pallas backward kernel. FreeNeRF frequency masks
     apply to the encoded features BEFORE the kernel (identical math to
     core.models.NeRF's in-model masking).
+
+    save_acts: None resolves from model_cfg.fused_save_acts (see
+    ModelConfig). block_rows: None = 512 with save_acts (the acts block
+    must double-buffer next to the resident grad accumulators), else 1024.
     """
     from fsnerf_tpu.core.encoding import positional_encoding
 
     n_layers = model_cfg.n_layers
     skip = tuple(model_cfg.skip)
+    if save_acts is None:
+        save_acts = bool(getattr(model_cfg, "fused_save_acts", False))
+    if block_rows is None:
+        block_rows = 512 if save_acts else 1024
     fused, _ = make_fused_train_mlp(n_layers, skip, block_rows=block_rows,
-                                    interpret=interpret)
+                                    interpret=interpret,
+                                    save_acts=save_acts)
 
     def apply_fn(params, x, dirs, pos_mask=None, dir_mask=None):
         prepped = prep_params(params, n_layers=n_layers, skip=skip)

@@ -92,9 +92,11 @@ def test_fused_mlp_density_activations(small_setup):
     assert (texp[:, 3] > 0).all()
 
 
-def test_fused_train_vjp_matches_autodiff(small_setup):
+@pytest.mark.parametrize("save_acts", [False, True])
+def test_fused_train_vjp_matches_autodiff(small_setup, save_acts):
     """Custom-VJP backward kernel vs jax autodiff through the flax model
-    (values and parameter gradients, bf16 tolerance)."""
+    (values and parameter gradients, bf16 tolerance) — both the recompute
+    and the saved-activations backward."""
     import jax.tree_util as jtu
     from fsnerf_tpu.ops.pallas.mlp import prep_params as prep
     from fsnerf_tpu.ops.pallas.mlp_train import (
@@ -104,7 +106,8 @@ def test_fused_train_vjp_matches_autodiff(small_setup):
     x, d = _inputs(256, seed=7)
     tgt = jnp.asarray(np.random.default_rng(8).uniform(0, 1, (256, 4)),
                       dtype=jnp.float32)
-    fused, _ = make_fused_train_mlp(4, (2,), block_rows=128, interpret=True)
+    fused, _ = make_fused_train_mlp(4, (2,), block_rows=128, interpret=True,
+                                    save_acts=save_acts)
 
     def loss_fused(params):
         pr = prep(params, n_layers=4, skip=(2,))
@@ -131,6 +134,40 @@ def test_fused_train_vjp_matches_autodiff(small_setup):
         b = np.asarray(b, np.float32)
         scale = np.abs(b).max() + 1e-8
         assert np.abs(a - b).max() / scale < 0.06, jtu.keystr(pa)
+
+
+def test_fused_train_saved_acts_bitwise_matches_recompute(small_setup):
+    """save_acts=True grads are BITWISE identical to the recompute backward:
+    the saved trunk chain is exactly what the recompute would produce."""
+    from fsnerf_tpu.ops.pallas.mlp import prep_params as prep
+    from fsnerf_tpu.ops.pallas.mlp_train import (
+        _flat_from_prepped, make_fused_train_mlp)
+
+    _, params = small_setup
+    x, d = _inputs(256, seed=11)
+    pr = prep(params, n_layers=4, skip=(2,))
+    flat = tuple(_flat_from_prepped(pr))
+    encx = positional_encoding(x, 4, True)
+    encd = positional_encoding(d, 2, True)
+    ex = jnp.zeros((256, pr["d_enc_pad"]), jnp.bfloat16
+                   ).at[:, :encx.shape[1]].set(encx.astype(jnp.bfloat16))
+    ed = jnp.zeros((256, pr["d_dir_pad"]), jnp.bfloat16
+                   ).at[:, :encd.shape[1]].set(encd.astype(jnp.bfloat16))
+
+    outs, grads = [], []
+    for sa in (False, True):
+        fused, _ = make_fused_train_mlp(4, (2,), block_rows=128,
+                                        interpret=True, save_acts=sa)
+
+        def loss(flat):
+            return jnp.sum(fused(flat, ex, ed) ** 2)
+
+        outs.append(np.asarray(fused(flat, ex, ed)))
+        grads.append(jax.grad(loss)(flat))
+
+    np.testing.assert_array_equal(outs[0], outs[1])
+    for a, b in zip(grads[0], grads[1]):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
 def test_fused_train_model_fn_in_train_step():
