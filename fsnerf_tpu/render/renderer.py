@@ -42,6 +42,54 @@ from fsnerf_tpu.ops.sampling import (
 from fsnerf_tpu.ops.volrend import volume_render
 
 
+@jax.custom_vjp
+def _merge_sorted_union(t_cat, o_cat):
+    """Sort the (coarse ∪ fine) union by t; permute outputs to match.
+
+    Exact — a sort permutes, it never recomputes. The point of the custom
+    VJP: lax.sort's built-in payload gradient lowers to take_along_axis, a
+    pathological per-element gather on TPU (measured: the built-in VJP made
+    coarse-output reuse a 27% end-to-end training REGRESSION, 104.6k ->
+    82.2k rays/s on v5e). The backward here applies the exact inverse
+    permutation with a second payload sort keyed on the forward's source
+    indices — sorts only, no gathers, in both directions.
+
+    Returns (t_sorted [R, S], outputs_sorted [R, S, C]).
+    """
+    t_f, merged, _ = _merge_fwd_impl(t_cat, o_cat)
+    return t_f, merged
+
+
+def _merge_fwd_impl(t_cat, o_cat):
+    n_ch = o_cat.shape[-1]
+    iota = jax.lax.broadcasted_iota(jnp.int32, t_cat.shape, 1)
+    res = jax.lax.sort(
+        (t_cat, *(o_cat[..., c] for c in range(n_ch)), iota),
+        dimension=-1, num_keys=1)
+    merged = jnp.stack(res[1:-1], axis=-1)
+    return res[0], merged, res[-1]
+
+
+def _merge_fwd(t_cat, o_cat):
+    t_f, merged, src = _merge_fwd_impl(t_cat, o_cat)
+    return (t_f, merged), src
+
+
+def _merge_bwd(src, cts):
+    dt_f, dmerged = cts
+    n_ch = dmerged.shape[-1]
+    # src[p] = source index of sorted position p; sorting the cotangents by
+    # src places position p's cotangent back at source slot src[p] — the
+    # exact inverse permutation (src is a permutation: keys are unique).
+    res = jax.lax.sort(
+        (src, dt_f, *(dmerged[..., c] for c in range(n_ch))),
+        dimension=-1, num_keys=1)
+    return res[1], jnp.stack(res[2:], axis=-1)
+
+
+_merge_sorted_union.defvjp(_merge_fwd, _merge_bwd)
+
+
 def to8b(x: np.ndarray) -> np.ndarray:
     """Float [0,1] -> uint8 (reference rendering.py:22)."""
     return (255 * np.clip(x, 0, 1)).astype(np.uint8)
@@ -253,10 +301,8 @@ def render_rays_hierarchical(
         out4_new = model_fn(x_new, dirs_new).astype(jnp.float32)
         t_cat = jnp.concatenate([t_c, t_new], axis=-1)           # [R, C+F]
         o_cat = jnp.concatenate([out4_c, out4_new], axis=-2)
-        t_f, r0, r1, r2, sig = jax.lax.sort(
-            (t_cat, o_cat[..., 0], o_cat[..., 1], o_cat[..., 2],
-             o_cat[..., 3]), dimension=-1, num_keys=1)
-        rgb_f = jnp.stack([r0, r1, r2], axis=-1)
+        t_f, merged = _merge_sorted_union(t_cat, o_cat)
+        rgb_f, sig = merged[..., :3], merged[..., 3]
         d_f = _deltas_from_t(t_f, far)
     else:
         t_f, d_f = hierarchical_samples(k2, t_c, w, n_fine, far)

@@ -196,3 +196,68 @@ def test_hierarchical_shared_reuse_matches_union_eval():
                                    np.asarray(f_old["rgb"]), atol=1e-5)
         np.testing.assert_allclose(np.asarray(f_new["depth"]),
                                    np.asarray(f_old["depth"]), atol=1e-4)
+
+
+def test_merge_sorted_union_custom_vjp_matches_autodiff():
+    """_merge_sorted_union's sort-based backward (no take_along_axis) must
+    produce the same cotangents as plain autodiff through a gather-based
+    permutation of the same union."""
+    from fsnerf_tpu.render.renderer import _merge_sorted_union
+
+    rng = np.random.default_rng(17)
+    t = jnp.asarray(rng.uniform(2.0, 6.0, (8, 24)), jnp.float32)
+    o = jnp.asarray(rng.normal(size=(8, 24, 4)), jnp.float32)
+    w_t = jnp.asarray(rng.normal(size=(8, 24)), jnp.float32)
+    w_o = jnp.asarray(rng.normal(size=(8, 24, 4)), jnp.float32)
+
+    def loss_custom(t, o):
+        t_f, m = _merge_sorted_union(t, o)
+        return jnp.sum(w_t * t_f) + jnp.sum(w_o * jnp.tanh(m))
+
+    def loss_ref(t, o):
+        idx = jnp.argsort(t, axis=-1)
+        t_f = jnp.take_along_axis(t, idx, axis=-1)
+        m = jnp.take_along_axis(o, idx[..., None], axis=-2)
+        return jnp.sum(w_t * t_f) + jnp.sum(w_o * jnp.tanh(m))
+
+    np.testing.assert_allclose(float(loss_custom(t, o)),
+                               float(loss_ref(t, o)), rtol=1e-6)
+    gc = jax.grad(loss_custom, argnums=(0, 1))(t, o)
+    gr = jax.grad(loss_ref, argnums=(0, 1))(t, o)
+    np.testing.assert_allclose(np.asarray(gc[0]), np.asarray(gr[0]),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(gc[1]), np.asarray(gr[1]),
+                               atol=1e-6)
+
+
+def test_hierarchical_reuse_grads_match_union_grads():
+    """Parameter-free check that gradients THROUGH the reuse merge equal
+    gradients through the classic full-union evaluation: differentiate a
+    scalar 'brightness' knob scaling the model output both ways."""
+    from fsnerf_tpu.render.renderer import render_rays_hierarchical
+
+    rng = np.random.default_rng(9)
+    o = rng.normal(size=(16, 3))
+    o = o / np.linalg.norm(o, axis=-1, keepdims=True) * 4.0
+    d = -o / np.linalg.norm(o, axis=-1, keepdims=True)
+    o = jnp.asarray(o, jnp.float32)
+    d = jnp.asarray(d, jnp.float32)
+    key = jax.random.key(4)
+
+    def make_loss(coarse_model_fn_from):
+        def loss(gain):
+            def model(x, dirs=None):
+                out = _analytic_model(x, dirs)
+                return out * gain
+            kw = {}
+            if coarse_model_fn_from:
+                kw["coarse_model_fn"] = model
+            c, f = render_rays_hierarchical(
+                model, o, d, 2.0, 6.0, 16, 32, key=key, white_bkgd=True,
+                **kw)
+            return jnp.sum(f["rgb"] ** 2) + jnp.sum(c["rgb"] ** 2)
+        return loss
+
+    g_reuse = float(jax.grad(make_loss(False))(jnp.float32(1.0)))
+    g_union = float(jax.grad(make_loss(True))(jnp.float32(1.0)))
+    np.testing.assert_allclose(g_reuse, g_union, rtol=1e-4)
