@@ -40,26 +40,43 @@ TARGET_MULTIPLE = 5.0
 V5E_BF16_PEAK_FLOPS = 197e12   # TPU v5e: 197 TFLOP/s bf16
 
 
-def mlp_flops_per_sample(cfg, full=True):
+def mlp_flops_per_sample(cfg, full=True, heads_only=False):
     """Analytic fwd MAC count of the NeRF MLP per sample (x2 for FLOPs).
 
     full=False: density-only pass (trunk + sigma head) — the occupancy-grid
-    refresh workload."""
+    refresh workload. heads_only=True: just the connection/branch/rgb head
+    stack — what the saved-activations backward recomputes."""
     e = cfg.encoder
     m = cfg.model
     d_enc = 3 * (1 + 2 * e.n_freqs)
     d_dir = 3 * (1 + 2 * e.n_freqs_views)
     D = m.d_filter
-    macs = d_enc * D                                     # layer 0
-    for i in range(1, m.n_layers):
-        d_in = D + (d_enc if (i - 1) in m.skip else 0)
-        macs += d_in * D
-    macs += D * 1                                        # sigma head
+    macs = 0
+    if not heads_only:
+        macs += d_enc * D                                # layer 0
+        for i in range(1, m.n_layers):
+            d_in = D + (d_enc if (i - 1) in m.skip else 0)
+            macs += d_in * D
+        macs += D * 1                                    # sigma head
     if full:
         macs += D * D                                    # connection
         macs += (D + d_dir) * (D // 2)                   # view branch
         macs += (D // 2) * 3                             # rgb head
     return 2 * macs
+
+
+def train_flops_per_sample(cfg):
+    """EXECUTED fwd+bwd FLOPs per training sample.
+
+    Backward GEMMs (dW + dx chains) are 2x the forward; on top of that the
+    fused kernel re-materializes activations: the recompute backward re-runs
+    the whole forward (+1x), the saved-acts default re-runs only the head
+    stack (ops/pallas/mlp_train.py)."""
+    fwd = mlp_flops_per_sample(cfg, full=True)
+    rematerialize = (mlp_flops_per_sample(cfg, heads_only=True)
+                     if getattr(cfg.model, "fused_save_acts", False)
+                     else fwd)
+    return 3 * fwd + rematerialize
 
 
 def main():
@@ -103,19 +120,19 @@ def main():
     compactor = CompactionController(cfg)
     chunk_fn = build_chunk(cfg)
     for _ in range(warm_steps // chunk):
-        state, metrics = chunk_fn(state)
+        state, metrics = chunk_fn(state, pool)
         if compactor.observe(float(jax.device_get(metrics["n_valid_mean"]))):
             chunk_fn = build_chunk(compactor.apply(cfg))
     # one extra untimed chunk: if the controller re-laddered on the LAST warm
     # observation, the settled-K executable hasn't compiled yet — its first
     # call must not land inside the timed window
-    state, metrics = chunk_fn(state)
+    state, metrics = chunk_fn(state, pool)
     jax.block_until_ready(metrics)
     k_settled = compactor.k
 
     t0 = time.perf_counter()
     for _ in range(bench_steps // chunk):
-        state, metrics = chunk_fn(state)
+        state, metrics = chunk_fn(state, pool)
     jax.block_until_ready(metrics)
     dt = time.perf_counter() - t0
 
@@ -124,10 +141,11 @@ def main():
     steps_per_sec = bench_steps / dt
     vs = rays_per_sec / (TARGET_MULTIPLE * A100_TRAIN_RAYS_PER_SEC)
 
-    # analytic MFU: executed MLP FLOPs (fwd+bwd ~ 3x fwd on the B x K train
-    # batch + amortized density-only grid refresh) / bf16 peak
+    # analytic MFU: executed MLP FLOPs (fwd + 2x-fwd backward + the
+    # backward's activation rematerialization on the B x K train batch,
+    # + amortized density-only grid refresh) / bf16 peak
     s = cfg.sampling
-    train_flops = batch_size * k_settled * 3 * mlp_flops_per_sample(cfg)
+    train_flops = batch_size * k_settled * train_flops_per_sample(cfg)
     interval = s.update_interval_late or s.update_interval  # bench window is
     grid_samples = (s.grid_resolution ** 3) * s.grid_levels \
         / s.update_parts / interval                         # post-late-start
@@ -200,11 +218,11 @@ def main():
     step_h = make_train_step(model, cfg_h, optimizer, pool, scene)
     chunk_h = jax.jit(make_train_chunk(step_h, chunk), donate_argnums=0)
     for _ in range(h_warm // chunk):
-        state_h, m_h = chunk_h(state_h)
+        state_h, m_h = chunk_h(state_h, pool)
     jax.block_until_ready(m_h)
     t0 = time.perf_counter()
     for _ in range(h_bench // chunk):
-        state_h, m_h = chunk_h(state_h)
+        state_h, m_h = chunk_h(state_h, pool)
     jax.block_until_ready(m_h)
     hier_rays_sec = h_bench * batch_size / (time.perf_counter() - t0)
 

@@ -55,11 +55,11 @@ def run_arm(reuse: bool, save_acts: bool):
     step_fn = make_train_step(model, cfg, optimizer, pool, scene)
     chunk_fn = jax.jit(make_train_chunk(step_fn, chunk), donate_argnums=0)
 
-    state, m = chunk_fn(state)
+    state, m = chunk_fn(state, pool)
     jax.block_until_ready(m)
     t0 = time.perf_counter()
     for _ in range(2):
-        state, m = chunk_fn(state)
+        state, m = chunk_fn(state, pool)
     jax.block_until_ready(m)
     dt = time.perf_counter() - t0
     rays = 2 * chunk * B / dt

@@ -45,15 +45,15 @@ def settle_and_time(save_acts: bool):
     compactor = CompactionController(cfg)
     chunk_fn = build_chunk(cfg)
     for _ in range(12):
-        state, metrics = chunk_fn(state)
+        state, metrics = chunk_fn(state, pool)
         if compactor.observe(float(jax.device_get(metrics["n_valid_mean"]))):
             chunk_fn = build_chunk(compactor.apply(cfg))
-    state, metrics = chunk_fn(state)        # prime the settled executable
+    state, metrics = chunk_fn(state, pool)        # prime the settled executable
     jax.block_until_ready(metrics)
 
     t0 = time.perf_counter()
     for _ in range(6):
-        state, metrics = chunk_fn(state)
+        state, metrics = chunk_fn(state, pool)
     jax.block_until_ready(metrics)
     dt = time.perf_counter() - t0
     rays = 6 * chunk * B / dt

@@ -104,10 +104,10 @@ def main():
     compactor = CompactionController(cfg)
     chunk_fn = build_chunk(cfg)
     for _ in range(9):
-        state, metrics = chunk_fn(state)
+        state, metrics = chunk_fn(state, pool)
         if compactor.observe(float(jax.device_get(metrics["n_valid_mean"]))):
             chunk_fn = build_chunk(compactor.apply(cfg))
-    state, metrics = chunk_fn(state)          # prime the settled executable
+    state, metrics = chunk_fn(state, pool)          # prime the settled executable
     jax.block_until_ready(metrics)
     K = compactor.k
     ccfg = compactor.apply(cfg)
@@ -119,7 +119,7 @@ def main():
     # 100-step scan chunk; a non-donating jit so the same state re-runs)
     step_fn = make_train_step(model, ccfg, optimizer, pool, scene)
     chunk_nodonate = jax.jit(make_train_chunk(step_fn, 100))
-    t_full = timeit(lambda: chunk_nodonate(state)[1]["loss"], reps=3,
+    t_full = timeit(lambda: chunk_nodonate(state, pool)[1]["loss"], reps=3,
                     warmup=1) / 100
 
     # ---- stage shapes
@@ -235,7 +235,7 @@ def main():
 
     if args.trace:
         with jax.profiler.trace(args.trace):
-            out = chunk_nodonate(state)
+            out = chunk_nodonate(state, pool)
             jax.block_until_ready(out)
         print(f"trace written to {args.trace}")
 

@@ -58,7 +58,7 @@ def make_parallel_train_step(
             idx = idx * jax.lax.axis_size(a) + jax.lax.axis_index(a)
         return idx
 
-    def sharded_step(state: TrainState) -> Tuple[TrainState, dict]:
+    def sharded_step(state: TrainState, pool) -> Tuple[TrainState, dict]:
         my = _global_index()
         key, k_batch, k_render, k_grid = jax.random.split(state.key, 4)
         # per-chip distinct batch + jitter
@@ -93,12 +93,22 @@ def make_parallel_train_step(
                                step=state.step + 1, key=key)
         return new_state, metrics
 
+    # pool as a replicated ARGUMENT (RayPool is a pytree) — a closed-over
+    # pool would be embedded as HLO constants (~295 MB executables at full
+    # scale; see data/pool.py). default_pool keeps step(state) call sites
+    # working; product paths pass the pool explicitly.
+    default_pool = pool
     smapped = jax.shard_map(
         sharded_step, mesh=mesh,
-        in_specs=(P(),), out_specs=(P(), P()),
+        in_specs=(P(), P()), out_specs=(P(), P()),
         check_vma=False,
     )
-    return jax.jit(smapped, donate_argnums=0)
+    jitted = jax.jit(smapped, donate_argnums=0)
+
+    def step(state: TrainState, pool=None):
+        return jitted(state, default_pool if pool is None else pool)
+
+    return step
 
 
 def render_rays_tiled(

@@ -249,7 +249,9 @@ def train(
         # chunk, then full chunks (pinning chunk_c to 1 for the whole run
         # would reintroduce the per-step dispatch stall chunking removes)
         n = min(chunk_c - k % chunk_c, cfg.train.n_iters - k)
-        state, metrics = get_chunk(compactor.apply(cfg), n)(state)
+        # pool passed as an argument (NOT a closure constant — see
+        # data/pool.py: full-scale compiles were ~20x the train compute)
+        state, metrics = get_chunk(compactor.apply(cfg), n)(state, pool)
         k += n
         # adaptive compaction observes EVERY chunk (not just log boundaries):
         # the ladder must track the converging grid at its own cadence

@@ -216,19 +216,25 @@ def make_train_step(
     optimizer: optax.GradientTransformation,
     pool,
     scene,
-) -> Callable[[TrainState], Tuple[TrainState, dict]]:
-    """Build the per-step closure.
+) -> Callable[[TrainState, "RayPool"], Tuple[TrainState, dict]]:
+    """Build the per-step closure: step(state, pool) -> (state, metrics).
 
     Args:
       model: flax module (NeRF/SiNeRF).
       cfg: Config.
-      pool: RayPool (device-resident training rays).
+      pool: RayPool — used here only as the default for the step's pool
+        argument. The pool MUST flow through the jit boundary as an
+        argument (RayPool is a pytree): closing over it embeds the whole
+        ray set as HLO constants, which at full scale (800^2 x 8 views)
+        made every chunk compile serialize ~295 MB (~170-220 s each).
       scene: dataset metadata object exposing .near/.far (hierarchical mode).
     """
     t_cfg = cfg.train
     loss_fn = make_loss_fn(model, cfg, scene)
+    default_pool = pool
 
-    def train_step(state: TrainState) -> Tuple[TrainState, dict]:
+    def train_step(state: TrainState, pool=None) -> Tuple[TrainState, dict]:
+        pool = default_pool if pool is None else pool
         key, k_batch, k_render, k_grid = jax.random.split(state.key, 4)
         batch = pool.sample(k_batch, t_cfg.batch_size)
 
@@ -263,11 +269,13 @@ def make_train_chunk(train_step: Callable, n: int) -> Callable:
     """lax.scan over `n` steps — one dispatch for n optimizer updates.
 
     Used by the benchmark and long headless runs to eliminate per-step host
-    dispatch overhead entirely.
+    dispatch overhead entirely. chunk(state, pool): the pool rides the jit
+    boundary as an argument (loop-invariant inside the scan) so the big ray
+    arrays never become HLO constants.
     """
-    def chunk(state: TrainState) -> Tuple[TrainState, dict]:
+    def chunk(state: TrainState, pool=None) -> Tuple[TrainState, dict]:
         def body(s, _):
-            s2, m = train_step(s)
+            s2, m = train_step(s, pool)
             return s2, m
         state, metrics = jax.lax.scan(body, state, None, length=n)
         return state, jax.tree.map(lambda x: x[-1], metrics)
