@@ -17,8 +17,10 @@ arms: XLA chunk renderer, fixed K=192, query stride 1, undilated grid):
 Run:  python benchmarks/quality_study.py [--arms r3fix,r2def,K192s1]
                                          [--seeds 0,1,2] [--iters 8000]
 Appends one JSON line per run to benchmarks/quality_study_r3.jsonl and
-prints a BASELINE.md-ready table at the end. ~2-3 min per run on the v5e
-chip (train + held-out render).
+prints a BASELINE.md-ready table at the end. ~2-8 min per run on the v5e
+chip (train + held-out render; the first run of each arm pays the adaptive
+ladder's compile chain — see data/pool.py's pool-as-argument note for why
+this is minutes and not hours).
 """
 
 import argparse
