@@ -41,6 +41,10 @@ def arm_config(arm: str, seed: int, iters: int):
     samp = dict(strategy="occgrid")
     if arm == "r3fix":
         pass                                    # current defaults
+    elif arm == "r3s8":
+        # radius-2 dilated tables, stride 8 (candidate default: +14%
+        # throughput over radius 1/stride 4 — benchmarks/ab_query_radius.py)
+        samp.update(query_stride=8, query_dilation=2)
     elif arm == "r2def":
         samp.update(query_stride=2, query_dilation=0, update_interval_late=0)
     elif arm == "K192s1":

@@ -276,11 +276,16 @@ def auto_query_stride(aabb, resolution: int, step_size: float,
 
 def resolve_query_plan(sampling_cfg, aabb):
     """(query_stride, query_dilation) for a SamplingConfig + concrete scene
-    aabb. 0 stride in the config = auto: pick the dilation radius in {0, 1}
-    whose admissible stride is larger (ties favor radius 0 — no
-    false-positive shell). Radius 1 doubles the lossless stride, halving the
-    dominant gather cost; measured quality-neutral (the shell only ADDS
-    samples, absorbed by the spread quadrature at unchanged compaction K).
+    aabb. 0 stride in the config = auto: pick the dilation radius in
+    {0, 1, 2} whose admissible stride is largest (ties favor the smaller
+    radius — thinner false-positive shell). Each dilation unit doubles the
+    lossless stride, and the gather cost is linear in row count; measured
+    at the bench geometry: radius 2/stride 8 is +14% train throughput over
+    radius 1/stride 4 at unchanged settled K, and quality-NEUTRAL at full
+    scale (3-seed 8k-iter study, BASELINE.md r3: the r3s8 arm's mean
+    held-out PSNR 28.06 is the best of all arms). The od-based early
+    termination always reads the cell's OWN occ (packed table), so the
+    shell never feeds the transmittance estimate.
     """
     if sampling_cfg.strategy != "occgrid":
         return 1, 0
@@ -293,9 +298,13 @@ def resolve_query_plan(sampling_cfg, aabb):
     if dil_cfg is not None:
         return auto_query_stride(*args, max_stride=max_stride,
                                  dilation=int(dil_cfg)), int(dil_cfg)
-    s0 = auto_query_stride(*args, max_stride=max_stride, dilation=0)
-    s1 = auto_query_stride(*args, max_stride=max_stride, dilation=1)
-    return (s1, 1) if s1 > s0 else (s0, 0)
+    s_best, d_best = auto_query_stride(*args, max_stride=max_stride,
+                                       dilation=0), 0
+    for r in (1, 2):
+        s_r = auto_query_stride(*args, max_stride=max_stride, dilation=r)
+        if s_r > s_best:
+            s_best, d_best = s_r, r
+    return s_best, d_best
 
 
 def resolve_query_stride(sampling_cfg, aabb) -> int:

@@ -232,7 +232,10 @@ def test_resolve_query_plan_auto_picks_dilated_stride():
     from fsnerf_tpu.config import SamplingConfig
     aabb = [-1.5, -1.5, -1.5, 1.5, 1.5, 1.5]
     s = SamplingConfig()          # defaults: res 128, 512 samples, auto
-    assert og.resolve_query_plan(s, aabb) == (4, 1)
+    assert og.resolve_query_plan(s, aabb) == (8, 2)
+    # dilation pinned to 1 -> radius-1 admissible stride
+    s1 = SamplingConfig(query_dilation=1)
+    assert og.resolve_query_plan(s1, aabb) == (4, 1)
     # dilation pinned to 0 -> the plain lossless stride
     s0 = SamplingConfig(query_dilation=0)
     assert og.resolve_query_plan(s0, aabb) == (2, 0)
@@ -243,7 +246,7 @@ def test_resolve_query_plan_auto_picks_dilated_stride():
     sh = SamplingConfig(strategy="hierarchical")
     assert og.resolve_query_plan(sh, aabb) == (1, 0)
     # resolve_query_stride stays the stride half
-    assert og.resolve_query_stride(s, aabb) == 4
+    assert og.resolve_query_stride(s, aabb) == 8
 
 
 def test_stride4_dilated_mask_supersets_stride1():
