@@ -14,7 +14,7 @@ import time
 import jax
 
 
-def settle_and_time(save_acts: bool):
+def settle_and_time(save_acts: bool, block_rows=None):
     from fsnerf_tpu.config import (Config, DataConfig, ModelConfig,
                                    SamplingConfig, TrainConfig)
     from fsnerf_tpu.core.models import make_model
@@ -27,7 +27,8 @@ def settle_and_time(save_acts: bool):
     B, chunk = 1024, 100
     cfg = Config(
         data=DataConfig(dataset="sphere", white_bkgd=True),
-        model=ModelConfig(fused_save_acts=save_acts),
+        model=ModelConfig(fused_save_acts=save_acts,
+                          fused_block_rows=block_rows),
         sampling=SamplingConfig(strategy="occgrid", n_samples=512,
                                 grid_resolution=128, grid_levels=1),
         train=TrainConfig(n_iters=1800, batch_size=B, dtype="bfloat16"),
@@ -57,17 +58,18 @@ def settle_and_time(save_acts: bool):
     jax.block_until_ready(metrics)
     dt = time.perf_counter() - t0
     rays = 6 * chunk * B / dt
-    print(f"save_acts={save_acts}: K={compactor.k} "
-          f"{rays:,.0f} rays/s ({dt / 6 * 10:.2f} ms/step)", flush=True)
+    print(f"save_acts={save_acts} block_rows={block_rows}: "
+          f"K={compactor.k} {rays:,.0f} rays/s "
+          f"({dt / 6 * 10:.2f} ms/step)", flush=True)
     return rays
 
 
 def main():
     from fsnerf_tpu.utils.profiling import enable_compilation_cache
     enable_compilation_cache()
-    off = settle_and_time(False)
-    on = settle_and_time(True)
-    print(f"saved-acts speedup: {on / off:.3f}x")
+    settle_and_time(False, 1024)
+    settle_and_time(True, 512)
+    settle_and_time(True, 1024)
 
 
 if __name__ == "__main__":

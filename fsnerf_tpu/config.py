@@ -61,6 +61,11 @@ class ModelConfig:
     # 321k rays/s, BASELINE.md r3). --no_fused_save_acts restores the
     # zero-HBM recompute backward.
     fused_save_acts: bool = True
+    # Row-block size of the fused train kernels (None = auto per backward
+    # mode, ops/pallas/mlp_train.py). Programmatic tuning knob (no CLI
+    # flag); measured on v5e in benchmarks/ab_block_rows.py /
+    # ab_save_acts.py.
+    fused_block_rows: Optional[int] = None
     # Use the fused ray-march render kernel (ops/pallas/render.py: MLP +
     # compositing + exact early exit in one kernel) for eval/video rendering.
     # Applies to NeRF model + occgrid strategy + single-chip (silently falls

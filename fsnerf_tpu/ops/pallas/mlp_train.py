@@ -265,9 +265,10 @@ def make_fused_train_mlp(n_layers: int, skip: Tuple[int, ...],
     HBM in the forward and skip the trunk recompute in the backward —
     trades ~1.0 MFLOP/sample of recompute for ~4 KB/sample of (pipelined)
     HBM traffic. Gradients are bitwise identical either way (the saved
-    chain IS what a recompute would produce). Callers should drop
-    block_rows (e.g. 512) with save_acts on: the acts block must
-    double-buffer in VMEM next to the resident f32 grad accumulators.
+    chain IS what a recompute would produce). block_rows 1024 fits both
+    modes on v5e (the acts block double-buffers next to the resident f32
+    grad accumulators) and measured fastest e2e — see
+    benchmarks/ab_save_acts.py / ab_block_rows.py.
     """
     names = _weight_names(n_layers, skip)
 
@@ -374,8 +375,8 @@ def make_fused_train_model_fn(
     core.models.NeRF's in-model masking).
 
     save_acts: None resolves from model_cfg.fused_save_acts (see
-    ModelConfig). block_rows: None = 512 with save_acts (the acts block
-    must double-buffer next to the resident grad accumulators), else 1024.
+    ModelConfig). block_rows: None = model_cfg.fused_block_rows, else the
+    measured v5e optimum (1024 for both backward modes).
     """
     from fsnerf_tpu.core.encoding import positional_encoding
 
@@ -384,7 +385,13 @@ def make_fused_train_model_fn(
     if save_acts is None:
         save_acts = bool(getattr(model_cfg, "fused_save_acts", False))
     if block_rows is None:
-        block_rows = 512 if save_acts else 1024
+        block_rows = getattr(model_cfg, "fused_block_rows", None)
+    if block_rows is None:
+        # 1024 measured best for BOTH backward modes on v5e (the saved-acts
+        # act blocks double-buffer fine next to the resident grad
+        # accumulators): e2e 366.4k (512) -> 374.9k (1024) rays/s at the
+        # bench workload; isolation sweep agrees (ab_block_rows.py).
+        block_rows = 1024
     fused, _ = make_fused_train_mlp(n_layers, skip, block_rows=block_rows,
                                     interpret=interpret,
                                     save_acts=save_acts)

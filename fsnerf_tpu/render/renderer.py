@@ -423,8 +423,12 @@ def render_frame(
       img: [H, W, 3]; depth: [H, W] clamped to [near, far].
     """
     H, W, _ = hwf
-    # The occupancy query gathers whole z-rows ([chunk*S, 128] f32 transient);
-    # cap the chunk so that intermediate stays ~2 GB of HBM.
+    # 16384-ray chunks are the MEASURED optimum on v5e, not an OOM guard:
+    # the query gather runs blocked (lax.map, bounded transient at any
+    # chunk size), and the sweep at the bench workload reads 586k/870k
+    # rays/s (xla/fused) at 16k vs 551k/779k at 64k — larger chunks lose
+    # ~6-10% (benchmarks/ab_render_chunk.py; scheduling, not dispatch,
+    # dominates at these sizes).
     if strategy == "occgrid":
         chunksize = min(chunksize, 16384)
     rays_o, rays_d = get_rays(pose, hwf)
