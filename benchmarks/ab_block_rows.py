@@ -1,10 +1,10 @@
 """Sweep the fused train kernel's row-block size (TPU).
 
 block_rows trades VMEM residency (weights + f32 grad accumulators +
-double-buffered act blocks) against grid-step overhead. The saved-acts
-default is 512 (picked conservatively when the acts block landed); this
-measures 256/512/768/1024 for both backward modes at the bench shape
-(65536 rows = 1024 rays x K 64).
+double-buffered act blocks) against grid-step overhead. Sweeps
+256/512/1024/2048 for both backward modes at the bench shape (65536 rows =
+1024 rays x K 64); 2048 exceeds VMEM and fails. Result (v5e): 1024 is best
+for BOTH modes and is the shipped default (make_fused_train_model_fn).
 
 Timed amortized inside a lax.scan (axon dispatch ~1.3 ms would otherwise
 swamp isolated calls).

@@ -276,9 +276,9 @@ def make_fused_train_mlp(n_layers: int, skip: Tuple[int, ...],
         return pl.BlockSpec((block_rows, cols), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
 
-    def fwd_call(flat, encx, encd):
+    def fwd_call(flat, encx, encd, save):
         n = encx.shape[0]
-        if save_acts:
+        if save:
             D = flat[names.index("w_conn")].shape[0]
             kern = functools.partial(_fwd_kernel_save, n_layers,
                                      tuple(skip), names)
@@ -340,14 +340,18 @@ def make_fused_train_mlp(n_layers: int, skip: Tuple[int, ...],
 
     @jax.custom_vjp
     def fused(flat, encx, encd):
-        out = fwd_call(flat, encx, encd)
-        return out[0] if save_acts else out
+        # primal (non-differentiated) calls never save: the [N, n_layers*D]
+        # acts stream only pays for itself when a backward will consume it
+        # (pallas_call outputs are opaque to XLA — a dropped acts output
+        # could not be dead-code-eliminated)
+        return fwd_call(flat, encx, encd, save=False)
 
     def fused_fwd(flat, encx, encd):
         if save_acts:
-            out, acts = fwd_call(flat, encx, encd)
+            out, acts = fwd_call(flat, encx, encd, save=True)
             return out, (flat, encx, encd, acts)
-        return fwd_call(flat, encx, encd), (flat, encx, encd, None)
+        return fwd_call(flat, encx, encd, save=False), (flat, encx, encd,
+                                                        None)
 
     def fused_bwd(res, dout):
         flat, encx, encd, acts = res

@@ -34,7 +34,7 @@ def make_parallel_train_step(
     scene,
     mesh: Mesh,
     axis=None,
-) -> Callable[[TrainState], Tuple[TrainState, dict]]:
+) -> Callable[..., Tuple[TrainState, dict]]:
     """Data-parallel train step over `mesh` (1-D single-slice or 2-D
     hybrid DCN x ICI — see parallel/mesh.py).
 

@@ -311,7 +311,7 @@ def train_scanned(
     chunk_fn = build_chunk(cfg)
     n_chunks = cfg.train.n_iters // chunk
     for c in range(n_chunks):
-        state, metrics = chunk_fn(state)
+        state, metrics = chunk_fn(state, pool)
         if on_chunk:
             on_chunk(c, state, metrics)
         if compactor.enabled and compactor.observe(

@@ -9,9 +9,11 @@ The reference performs these as separate CUDA launches with host round-trips
 (DataLoader batch at :236-240, nerfacc sampling/rendering at :243-252, a
 Python per-ray loop for the occlusion regularizer, a named_parameters loop
 for weight decay, and update_every_n_steps at :287-295). Here the entire step
-is one traced function: `make_train_step` returns a (state) -> (state,
-metrics) closure you can jit, donate, scan over, or shard over a mesh
-(parallel/train_parallel.py wraps it with sharding constraints).
+is one traced function: `make_train_step` returns a (state, pool) ->
+(state, metrics) closure you can jit, donate, scan over, or shard over a
+mesh (parallel/train_parallel.py wraps it with sharding constraints). Pass
+the pool THROUGH the jit boundary — see data/pool.py for why a closed-over
+pool costs minutes of compile per executable at full scale.
 """
 
 from __future__ import annotations

@@ -2,6 +2,7 @@
 reference run-nerf.py:92-98, 287-295)."""
 
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -203,26 +204,30 @@ def test_dilate_xy_matches_manual_maxfilter():
     np.testing.assert_allclose(got, want.reshape(L, res ** 3), rtol=1e-6)
 
 
-def test_dilated_query_is_conservative():
-    """With query_dilation=1, querying from ANY position displaced <= 1 cell
-    per axis from a sample must still see the sample's own occupancy — the
-    guarantee that makes stride 2*s0 lossless (auto_query_stride)."""
+@pytest.mark.parametrize("radius", [1, 2])
+def test_dilated_query_is_conservative(radius):
+    """With query_dilation=r, querying from ANY position displaced <= r
+    cells per axis from a sample must still see the sample's own occupancy
+    — the guarantee that makes stride 2*r*s0 lossless (auto_query_stride).
+    radius 2 is the default plan at the bench geometry (stride 8)."""
     rng = np.random.default_rng(7)
     res = 16
-    grid = og.create(AABB, resolution=res, levels=1, query_dilation=1)
+    grid = og.create(AABB, resolution=res, levels=1, query_dilation=radius)
     occs = (rng.uniform(size=(1, res ** 3)) < 0.1).astype(np.float32) * 0.05
     grid = og.with_occs(grid, occs, thre=1e-2)
     grid0 = og.create(AABB, resolution=res, levels=1, query_dilation=0)
     grid0 = og.with_occs(grid0, occs, thre=1e-2)
 
     cell = 3.0 / res
-    # points strictly inside the AABB with >= 1-cell margin so displaced
-    # queries stay in-bounds
-    x = jnp.asarray(rng.uniform(-1.5 + 1.5 * cell, 1.5 - 1.5 * cell,
-                                size=(512, 3)), jnp.float32)
+    # points strictly inside the AABB with >= radius-cell margin so
+    # displaced queries stay in-bounds
+    m = (radius + 0.5) * cell
+    x = jnp.asarray(rng.uniform(-1.5 + m, 1.5 - m, size=(512, 3)),
+                    jnp.float32)
     occ_exact = np.asarray(og.query(grid0, x))
     for _ in range(4):
-        delta = rng.uniform(-cell, cell, size=(512, 3)).astype(np.float32)
+        delta = rng.uniform(-radius * cell, radius * cell,
+                            size=(512, 3)).astype(np.float32)
         occ_dil = np.asarray(og.query(grid, x + jnp.asarray(delta)))
         # every exactly-occupied sample is seen by the displaced dilated query
         assert (occ_dil | ~occ_exact).all()
