@@ -71,8 +71,11 @@ def run_arm(stride: int, radius: int):
 def main():
     from fsnerf_tpu.utils.profiling import enable_compilation_cache
     enable_compilation_cache()
-    run_arm(4, 1)
-    run_arm(8, 2)
+    import sys
+    arms = sys.argv[1] if len(sys.argv) > 1 else "4:1,8:2"
+    for a in arms.split(","):
+        st, rad = a.split(":")
+        run_arm(int(st), int(rad))
 
 
 if __name__ == "__main__":

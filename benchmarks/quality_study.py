@@ -39,12 +39,17 @@ def arm_config(arm: str, seed: int, iters: int):
     from fsnerf_tpu.config import (Config, DataConfig, SamplingConfig,
                                    TrainConfig)
     samp = dict(strategy="occgrid")
+    train_kw = {}
     if arm == "r3fix":
-        pass                                    # current defaults
+        samp.update(query_stride=4, query_dilation=1)   # pre-r3s8 defaults
     elif arm == "r3s8":
-        # radius-2 dilated tables, stride 8 (candidate default: +14%
-        # throughput over radius 1/stride 4 — benchmarks/ab_query_radius.py)
+        # radius-2 dilated tables, stride 8 (the default since the r3s8
+        # study arm won — benchmarks/ab_query_radius.py)
         samp.update(query_stride=8, query_dilation=2)
+    elif arm == "r3s8sync":
+        # wall-clock A/B arm: same training math, compile-blocking ladder
+        samp.update(query_stride=8, query_dilation=2)
+        train_kw["async_ladder"] = False
     elif arm == "r2def":
         samp.update(query_stride=2, query_dilation=0, update_interval_late=0)
     elif arm == "K192s1":
@@ -55,7 +60,7 @@ def arm_config(arm: str, seed: int, iters: int):
     return Config(
         data=DataConfig(dataset="sphere", white_bkgd=True),
         sampling=SamplingConfig(**samp),
-        train=TrainConfig(n_iters=iters, seed=seed),
+        train=TrainConfig(n_iters=iters, seed=seed, **train_kw),
     )
 
 

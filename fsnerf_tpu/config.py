@@ -193,6 +193,14 @@ class TrainConfig:
     # checkpointing (new capability; reference only saves final state dict)
     ckpt_every: int = 0             # 0 = only final
     resume: bool = False
+    # Adaptive-ladder K swaps compile the new executable on a background
+    # thread while training continues at the old K (train/loop.py) — at
+    # full scale a ladder level costs ~50 s of XLA compile vs ~0.3 s per
+    # chunk. None = auto: on iff the host has spare cores (os.cpu_count()
+    # > 2; on a 1-core host the compile starves the dispatch thread and
+    # async measured SLOWER). False = compile-blocking swaps whose step
+    # schedule is exactly reproducible.
+    async_ladder: Optional[bool] = None
 
 
 @dataclass(frozen=True)
@@ -334,6 +342,12 @@ def config_parser() -> argparse.ArgumentParser:
     g.add_argument("--compact_margin", default=1.0, type=float)
     g.add_argument("--no_adapt_compact", action="store_true",
                    help="Disable the adaptive compaction-K ladder")
+    g.add_argument("--no_async_ladder", action="store_false",
+                   dest="async_ladder", default=None,
+                   help="Compile adaptive-K swaps synchronously (blocks "
+                        "~50 s per ladder level at full scale, but the "
+                        "step at which K switches is exactly reproducible; "
+                        "default auto = async iff the host has spare cores)")
     g.add_argument("--early_stop_eps", default=1e-4, type=float)
     g.add_argument("--query_stride", default=0, type=int,
                    help="Occupancy-query sample stride (0 = auto)")
@@ -454,6 +468,7 @@ _FLAG_MAP = {
     "val_rate": ("train", "val_rate"),
     "ckpt_every": ("train", "ckpt_every"),
     "resume": ("train", "resume"),
+    "async_ladder": ("train", "async_ladder"),
     "n_devices": ("parallel", "n_devices"),
     "distributed": ("parallel", "distributed"),
     "out_dir": ("log", "out_dir"),

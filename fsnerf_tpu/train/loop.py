@@ -13,6 +13,7 @@ from __future__ import annotations
 import json
 import math
 import os
+import threading
 import time
 from typing import Callable, Optional
 
@@ -102,6 +103,46 @@ class CompactionController:
         import dataclasses
         return cfg.replace(sampling=dataclasses.replace(
             cfg.sampling, n_compact=self.k))
+
+
+class _AsyncBuild:
+    """One background trace+lower+compile (XLA compilation releases the GIL,
+    and dispatching already-compiled steps needs almost no host CPU, so the
+    compile overlaps training instead of stalling it).
+
+    Daemon thread: an in-flight compile must not block interpreter exit."""
+
+    def __init__(self, build: Callable):
+        self._result = None
+        self._exc: Optional[BaseException] = None
+        self._done = threading.Event()
+        threading.Thread(target=self._run, args=(build,), daemon=True).start()
+
+    def _run(self, build):
+        try:
+            self._result = build()
+        except BaseException as e:          # surfaced at poll()
+            self._exc = e
+        finally:
+            self._done.set()
+
+    def poll(self):
+        """Compiled callable once ready, else None; re-raises a failure."""
+        if not self._done.is_set():
+            return None
+        if self._exc is not None:
+            raise self._exc
+        return self._result
+
+
+def _abstract(tree):
+    """ShapeDtypeStruct skeleton (with shardings) for AOT .lower() — the
+    concrete state must not be captured by a background compile: its buffers
+    are donated by the very next dispatch."""
+    def one(a):
+        sh = getattr(a, "sharding", None)
+        return jax.ShapeDtypeStruct(a.shape, a.dtype, sharding=sh)
+    return jax.tree.map(one, tree)
 
 
 class MetricsLogger:
@@ -235,30 +276,78 @@ def train(
         return jax.jit(make_train_chunk(sf, n), donate_argnums=0)
 
     chunk_fns = {}                       # chunk length -> compiled fn
+    live_cfg = compactor.apply(cfg)      # the cfg chunk_fns were built at
 
-    def get_chunk(c, n):
+    def get_chunk(n):
         if n not in chunk_fns:
-            chunk_fns[n] = build_chunk(c, n)
+            chunk_fns[n] = build_chunk(live_cfg, n)
         return chunk_fns[n]
+
+    # Non-blocking adaptive-ladder swaps (TrainConfig.async_ladder): a K
+    # change submits the new executable to a background compile and training
+    # CONTINUES at the old K until it is ready — a ladder level costs ~50 s
+    # of XLA compile vs ~0.3 s per 100-step chunk at full scale, so blocking
+    # swaps spend ~5x more wall clock compiling than computing. This only
+    # wins when the host has SPARE cores: measured on the 1-core dev box the
+    # background compile starves the dispatch thread and async LOSES (395 s
+    # sync vs 467 s async, 8k-iter 800^2 run) — hence the auto default
+    # (None): on iff os.cpu_count() > 2. Compiles are serialized on one
+    # worker with newest-target-wins so a fast-descending ladder never
+    # stacks concurrent compiles or builds abandoned intermediate rungs.
+    # Tradeoff when on: the exact step at which K switches depends on
+    # compile latency (each K's math stays seeded-deterministic; the ladder
+    # itself is quality-neutral per the BASELINE.md study).
+    # --no_async_ladder forces compile-blocking, step-deterministic swaps.
+    want_async = getattr(cfg.train, "async_ladder", None)
+    if want_async is None:
+        want_async = (os.cpu_count() or 1) > 2
+    use_async = bool(want_async) and chunk_c > 1
+    abs_state = _abstract(state)
+    abs_pool = _abstract(pool)
+    pending: Optional[_AsyncBuild] = None
+    pending_for = None                  # cfg the in-flight build compiles
+    target_cfg = live_cfg               # newest ladder target
+
+    def submit_swap(new_cfg):
+        def build():
+            jitted = build_chunk(new_cfg, chunk_c)
+            return jitted.lower(abs_state, abs_pool).compile()
+        return _AsyncBuild(build)
 
     start = int(state.step)
     t0 = time.perf_counter()
     k = start
     while k < cfg.train.n_iters:
+        if pending is not None:
+            done = pending.poll()
+            if done is not None:
+                chunk_fns.clear()
+                chunk_fns[chunk_c] = done
+                live_cfg, pending = pending_for, None
+                if target_cfg != live_cfg:      # ladder moved on: chase the
+                    pending_for = target_cfg    # NEWEST rung, skip stale ones
+                    pending = submit_swap(target_cfg)
         # resume from a step off the chunk lattice: one short realignment
         # chunk, then full chunks (pinning chunk_c to 1 for the whole run
         # would reintroduce the per-step dispatch stall chunking removes)
         n = min(chunk_c - k % chunk_c, cfg.train.n_iters - k)
         # pool passed as an argument (NOT a closure constant — see
         # data/pool.py: full-scale compiles were ~20x the train compute)
-        state, metrics = get_chunk(compactor.apply(cfg), n)(state, pool)
+        state, metrics = get_chunk(n)(state, pool)
         k += n
         # adaptive compaction observes EVERY chunk (not just log boundaries):
         # the ladder must track the converging grid at its own cadence
         if compactor.enabled and "n_valid_mean" in metrics:
             if compactor.observe(float(
                     jax.device_get(metrics["n_valid_mean"]))):
-                chunk_fns.clear()           # programs recompile at the new K
+                target_cfg = compactor.apply(cfg)
+                if use_async:
+                    if pending is None:     # else: picked up on completion
+                        pending_for = target_cfg
+                        pending = submit_swap(target_cfg)
+                else:
+                    chunk_fns.clear()       # recompile synchronously at new K
+                    live_cfg = target_cfg
         if k % log_every == 0 or k == cfg.train.n_iters:
             m = jax.device_get(metrics)
             dt = time.perf_counter() - t0

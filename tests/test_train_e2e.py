@@ -161,3 +161,39 @@ def test_train_resume_realigns_chunk_lattice(scene):
     assert int(state.step) == 30
     # log_every=10 -> chunk_c=10: expect a 3-step realign chunk then 10s
     assert 3 in seen and 10 in seen, seen
+
+
+@pytest.mark.parametrize("async_ladder", [True, False])
+def test_train_async_ladder_swap(scene, async_ladder):
+    """The adaptive-K ladder under train(): with async_ladder the new-K
+    executable compiles on a background thread (training keeps stepping at
+    the old K until the swap lands); sync mode blocks. Both must converge
+    and actually exercise a ladder change."""
+    from fsnerf_tpu.train.loop import CompactionController, train
+
+    cfg = _tiny_cfg("occgrid", async_ladder=async_ladder)
+    # a K ceiling far above the converged valid count forces >= 1 swap
+    import dataclasses
+    cfg = cfg.replace(sampling=dataclasses.replace(
+        cfg.sampling, n_compact=48, adapt_compact=True))
+
+    swaps = []
+    orig_observe = CompactionController.observe
+
+    def spy(self, nv):
+        changed = orig_observe(self, nv)
+        if changed:
+            swaps.append(self.k)
+        return changed
+
+    CompactionController.observe = spy
+    try:
+        model = make_model(cfg)
+        pool = pool_from_images(scene.imgs, scene.poses, scene.hwf)
+        state = train(model, cfg, pool, scene, log_every=100)
+    finally:
+        CompactionController.observe = orig_observe
+
+    assert int(state.step) == cfg.train.n_iters
+    assert swaps, "ladder never moved — test config no longer forces a swap"
+    assert jnp.isfinite(state.params["params"]["layers_0"]["kernel"]).all()
