@@ -66,6 +66,23 @@ class ModelConfig:
     # flag); measured on v5e in benchmarks/ab_block_rows.py /
     # ab_save_acts.py.
     fused_block_rows: Optional[int] = None
+    # Fused-train-kernel sub-chain interleave: split each row block into
+    # this many independent chains, emitted layer-wise interleaved, so
+    # Mosaic can overlap one chain's VPU tail with another's MXU GEMM
+    # (ops/pallas/mlp_train.py). Measured NEUTRAL on v5e (+-1.4%,
+    # benchmarks/ab_interleave.py — Mosaic already overlaps within one
+    # chain); None = 1 (single chain). Tuning knob for other TPU
+    # generations (no CLI flag).
+    fused_interleave: Optional[int] = None
+    # SiNeRF fused-kernel backward mode (ops/pallas/siren.py): the forward
+    # streams the trunk activations AND premultiplied sine derivatives
+    # (bf16) to HBM; the backward skips the whole trunk recompute — GEMMs
+    # and the sin/cos transcendentals (multi-op VPU sequences) — and the
+    # row block rises 256 -> 512 (the recompute's f32 y-list is what caps
+    # it). Unlike the NeRF kernel, gradients are NOT bitwise identical
+    # across modes: the saved cos factor is bf16-rounded (tolerance-tested;
+    # quality A/B'd on v5e). Programmatic knob (no CLI flag).
+    siren_save_acts: bool = True
     # Use the fused ray-march render kernel (ops/pallas/render.py: MLP +
     # compositing + exact early exit in one kernel) for eval/video rendering.
     # Applies to NeRF model + occgrid strategy + single-chip (silently falls

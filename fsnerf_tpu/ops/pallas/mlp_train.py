@@ -35,55 +35,74 @@ def _sigmoid(x):
     return jax.nn.sigmoid(x)
 
 
-def _heads_compute(h_last, encd, ws):
-    """Head stack from the last trunk activation: (feat, br, rgb).
+def _split_rows(x, j):
+    """Static row split into j independent sub-blocks (interleaving unit)."""
+    if j == 1:
+        return [x]
+    sub = x.shape[0] // j
+    return [x[i * sub:(i + 1) * sub] for i in range(j)]
+
+
+def _heads_compute(h_lasts, encds, ws):
+    """Head stack from the last trunk activation: (feats, brs, rgbs).
+
+    All row operands are LISTS of independent sub-blocks; each compute step
+    is emitted for every sub-block before the next step, so Mosaic can
+    overlap one sub-block's VPU tail (bias+relu+cast) with the next
+    sub-block's MXU GEMM (len==1 reproduces the single-chain emission).
 
     Shared by the forward pass and the saved-activations backward, which
     recomputes ONLY the heads (3 small GEMMs, ~0.2 MFLOP/sample) from the
     HBM-saved trunk chain instead of re-running the whole trunk (~1.0
     MFLOP/sample)."""
     f32 = jnp.float32
-    feat = (jnp.dot(h_last, ws["w_conn"], preferred_element_type=f32)
-            + ws["b_conn"].astype(f32)).astype(jnp.bfloat16)
-    br_pre = (jnp.dot(feat, ws["w_branch_h"], preferred_element_type=f32)
-              + jnp.dot(encd, ws["w_branch_d"], preferred_element_type=f32)
-              + ws["b_branch"].astype(f32))
-    br = jnp.maximum(br_pre, 0.0).astype(jnp.bfloat16)
-    rgb_pre = (jnp.dot(br, ws["w_rgb"], preferred_element_type=f32)
-               + ws["b_rgb"].astype(f32))
-    return feat, br, _sigmoid(rgb_pre)
+    feats = [(jnp.dot(h, ws["w_conn"], preferred_element_type=f32)
+              + ws["b_conn"].astype(f32)).astype(jnp.bfloat16)
+             for h in h_lasts]
+    br_pres = [(jnp.dot(f, ws["w_branch_h"], preferred_element_type=f32)
+                + jnp.dot(e, ws["w_branch_d"], preferred_element_type=f32)
+                + ws["b_branch"].astype(f32))
+               for f, e in zip(feats, encds)]
+    brs = [jnp.maximum(b, 0.0).astype(jnp.bfloat16) for b in br_pres]
+    rgb_pres = [(jnp.dot(b, ws["w_rgb"], preferred_element_type=f32)
+                 + ws["b_rgb"].astype(f32)) for b in brs]
+    return feats, brs, [_sigmoid(r) for r in rgb_pres]
 
 
-def _fwd_compute(encx, encd, ws, n_layers, skip, save=False):
+def _fwd_compute(encxs, encds, ws, n_layers, skip, save=False):
     """Forward math shared by fwd kernel and bwd recompute.
 
-    ws: dict of weight VALUES (already read from refs).
-    Returns (rgb_s [BN,128], sigma [BN,128], saved dict of activations).
+    ws: dict of weight VALUES (already read from refs). encxs/encds: lists
+    of row sub-blocks (see _heads_compute).
+    Returns (rgbs, sigmas, saved) — lists over sub-blocks; saved["h"][i] is
+    the layer-i activation list.
     """
     f32 = jnp.float32
+    J = len(encxs)
     saved = {"h": []}
-    h = None
+    hs = [None] * J
     for i in range(n_layers):
         if i > 0 and (i - 1) in skip:
             w_h, w_e = ws[f"t{i}a"], ws[f"t{i}b"]
-            y = (jnp.dot(h, w_h, preferred_element_type=f32)
-                 + jnp.dot(encx, w_e, preferred_element_type=f32))
+            ys = [jnp.dot(hs[j], w_h, preferred_element_type=f32)
+                  + jnp.dot(encxs[j], w_e, preferred_element_type=f32)
+                  for j in range(J)]
         elif i == 0:
-            y = jnp.dot(encx, ws["t0"], preferred_element_type=f32)
+            ys = [jnp.dot(e, ws["t0"], preferred_element_type=f32)
+                  for e in encxs]
         else:
-            y = jnp.dot(h, ws[f"t{i}"], preferred_element_type=f32)
-        y = y + ws[f"b{i}"].astype(f32)
-        h_new = jnp.maximum(y, 0.0).astype(jnp.bfloat16)
+            ys = [jnp.dot(h, ws[f"t{i}"], preferred_element_type=f32)
+                  for h in hs]
+        ys = [y + ws[f"b{i}"].astype(f32) for y in ys]
+        hs = [jnp.maximum(y, 0.0).astype(jnp.bfloat16) for y in ys]
         if save:
-            saved["h"].append(h_new)            # relu mask == h_new > 0
-        h = h_new
-
-    sigma = (jnp.dot(h, ws["w_sigma"], preferred_element_type=f32)
-             + ws["b_sigma"].astype(f32))
-    feat, br, rgb = _heads_compute(h, encd, ws)
+            saved["h"].append(list(hs))         # relu mask == h > 0
+    sigmas = [jnp.dot(h, ws["w_sigma"], preferred_element_type=f32)
+              + ws["b_sigma"].astype(f32) for h in hs]
+    feats, brs, rgbs = _heads_compute(hs, encds, ws)
     if save:
-        saved.update(feat=feat, br=br, rgb=rgb)   # relu mask == br > 0
-    return rgb, sigma, saved
+        saved.update(feat=feats, br=brs, rgb=rgbs)  # relu mask == br > 0
+    return rgbs, sigmas, saved
 
 
 def _weight_names(n_layers, skip):
@@ -115,14 +134,17 @@ def _flat_from_prepped(prepped):
     return flat
 
 
-def _fwd_kernel(n_layers, skip, names, *refs):
+def _fwd_kernel(n_layers, skip, names, interleave, *refs):
     encx_ref, encd_ref = refs[0], refs[1]
     ws = {n: refs[2 + i][:] for i, n in enumerate(names)}
     out_ref = refs[2 + len(names)]
-    rgb, sigma, _ = _fwd_compute(encx_ref[:], encd_ref[:], ws,
-                                 n_layers, skip)
-    out_ref[:, 0:3] = rgb[:, 0:3]
-    out_ref[:, 3:4] = sigma[:, 0:1]
+    encxs = _split_rows(encx_ref[:], interleave)
+    encds = _split_rows(encd_ref[:], interleave)
+    rgbs, sigmas, _ = _fwd_compute(encxs, encds, ws, n_layers, skip)
+    sub = out_ref.shape[0] // interleave
+    for j in range(interleave):
+        out_ref[j * sub:(j + 1) * sub, 0:3] = rgbs[j][:, 0:3]
+        out_ref[j * sub:(j + 1) * sub, 3:4] = sigmas[j][:, 0:1]
 
 
 def _dotT_a(a, b):
@@ -137,62 +159,81 @@ def _dot_bT(a, w):
                                preferred_element_type=jnp.float32)
 
 
-def _bwd_grads(n_layers, skip, names, ws, douts, encx, encd, dout, sv):
+def _bwd_grads(n_layers, skip, names, ws, douts, encxs, encds, dout_bs, sv):
     """Gradient math shared by the recompute and saved-activation backward
     kernels: accumulate weight/bias grads into `douts` from the activations
-    in `sv` (keys: h list, feat, br, rgb) and the upstream cotangent `dout`
-    ([BN, 128] f32: lanes 0..2 = d rgb, lane 3 = d sigma)."""
+    in `sv` (keys: h list-of-lists, feat, br, rgb — lists over row
+    sub-blocks, see _heads_compute) and the upstream cotangent sub-blocks
+    `dout_bs` ([BN/J, 128] f32: lanes 0..2 = d rgb, lane 3 = d sigma)."""
     f32 = jnp.float32
     bf16 = jnp.bfloat16
-    rgb = sv["rgb"]
-    lane = jax.lax.broadcasted_iota(jnp.int32, dout.shape, 1)
+    J = len(encxs)
+
+    def acc(name, parts):
+        g = parts[0]
+        for p in parts[1:]:
+            g = g + p
+        douts[name][:] += g
+
+    lanes = [jax.lax.broadcasted_iota(jnp.int32, d.shape, 1) for d in dout_bs]
 
     # rgb head: sigmoid backward in lanes 0..2 (rgb's padded cols are
     # sigmoid(bias_pad)=0.5 but masked out here)
-    drgb_pre = jnp.where(lane < 3, dout * rgb * (1.0 - rgb), 0.0)
-    douts["w_rgb"][:] += _dotT_a(sv["br"], drgb_pre.astype(bf16))
-    douts["b_rgb"][:] += jnp.sum(drgb_pre, axis=0, keepdims=True)
+    drgb_pres = [jnp.where(l < 3, d * r * (1.0 - r), 0.0)
+                 for l, d, r in zip(lanes, dout_bs, sv["rgb"])]
+    acc("w_rgb", [_dotT_a(b, d.astype(bf16))
+                  for b, d in zip(sv["br"], drgb_pres)])
+    acc("b_rgb", [jnp.sum(d, axis=0, keepdims=True) for d in drgb_pres])
 
-    dbr = _dot_bT(drgb_pre.astype(bf16), ws["w_rgb"])
-    dbr = jnp.where(sv["br"].astype(f32) > 0, dbr, 0.0)  # relu' (f32 cmp: Mosaic lacks bf16 compare)
-    douts["w_branch_h"][:] += _dotT_a(sv["feat"], dbr.astype(bf16))
-    douts["w_branch_d"][:] += _dotT_a(encd, dbr.astype(bf16))
-    douts["b_branch"][:] += jnp.sum(dbr, axis=0, keepdims=True)
+    dbrs = [_dot_bT(d.astype(bf16), ws["w_rgb"]) for d in drgb_pres]
+    # relu' (f32 cmp: Mosaic lacks bf16 compare)
+    dbrs = [jnp.where(b.astype(f32) > 0, d, 0.0)
+            for b, d in zip(sv["br"], dbrs)]
+    acc("w_branch_h", [_dotT_a(f, d.astype(bf16))
+                       for f, d in zip(sv["feat"], dbrs)])
+    acc("w_branch_d", [_dotT_a(e, d.astype(bf16))
+                       for e, d in zip(encds, dbrs)])
+    acc("b_branch", [jnp.sum(d, axis=0, keepdims=True) for d in dbrs])
 
-    dfeat = _dot_bT(dbr.astype(bf16), ws["w_branch_h"])
-    h_last = sv["h"][-1]
-    douts["w_conn"][:] += _dotT_a(h_last, dfeat.astype(bf16))
-    douts["b_conn"][:] += jnp.sum(dfeat, axis=0, keepdims=True)
+    dfeats = [_dot_bT(d.astype(bf16), ws["w_branch_h"]) for d in dbrs]
+    h_lasts = sv["h"][-1]
+    acc("w_conn", [_dotT_a(h, d.astype(bf16))
+                   for h, d in zip(h_lasts, dfeats)])
+    acc("b_conn", [jnp.sum(d, axis=0, keepdims=True) for d in dfeats])
 
     # sigma head: move d sigma from lane 3 to lane 0 (w_sigma's real column);
     # roll takes non-negative shifts, so rotate by width-3 instead of -3
-    dsig_pad = jnp.where(lane == 0, pltpu.roll(dout, dout.shape[1] - 3, 1),
-                         0.0)
-    douts["w_sigma"][:] += _dotT_a(h_last, dsig_pad.astype(bf16))
-    douts["b_sigma"][:] += jnp.sum(dsig_pad, axis=0, keepdims=True)
+    dsig_pads = [jnp.where(l == 0, pltpu.roll(d, d.shape[1] - 3, 1), 0.0)
+                 for l, d in zip(lanes, dout_bs)]
+    acc("w_sigma", [_dotT_a(h, d.astype(bf16))
+                    for h, d in zip(h_lasts, dsig_pads)])
+    acc("b_sigma", [jnp.sum(d, axis=0, keepdims=True) for d in dsig_pads])
 
-    dh = (_dot_bT(dfeat.astype(bf16), ws["w_conn"])
-          + _dot_bT(dsig_pad.astype(bf16), ws["w_sigma"]))
+    dhs = [_dot_bT(df.astype(bf16), ws["w_conn"])
+           + _dot_bT(ds.astype(bf16), ws["w_sigma"])
+           for df, ds in zip(dfeats, dsig_pads)]
 
     # trunk backward
     for i in range(n_layers - 1, -1, -1):
-        dh = jnp.where(sv["h"][i].astype(f32) > 0, dh, 0.0)  # relu'
-        h_prev = encx if i == 0 else sv["h"][i - 1]
+        dhs = [jnp.where(h.astype(f32) > 0, d, 0.0)                 # relu'
+               for h, d in zip(sv["h"][i], dhs)]
+        h_prevs = encxs if i == 0 else sv["h"][i - 1]
+        dhs_b = [d.astype(bf16) for d in dhs]
         if i > 0 and (i - 1) in skip:
-            douts[f"t{i}a"][:] += _dotT_a(h_prev, dh.astype(bf16))
-            douts[f"t{i}b"][:] += _dotT_a(encx, dh.astype(bf16))
-            douts[f"b{i}"][:] += jnp.sum(dh, axis=0, keepdims=True)
-            dh = _dot_bT(dh.astype(bf16), ws[f"t{i}a"])
+            acc(f"t{i}a", [_dotT_a(h, d) for h, d in zip(h_prevs, dhs_b)])
+            acc(f"t{i}b", [_dotT_a(e, d) for e, d in zip(encxs, dhs_b)])
+            acc(f"b{i}", [jnp.sum(d, axis=0, keepdims=True) for d in dhs])
+            dhs = [_dot_bT(d, ws[f"t{i}a"]) for d in dhs_b]
         elif i == 0:
-            douts["t0"][:] += _dotT_a(encx, dh.astype(bf16))
-            douts["b0"][:] += jnp.sum(dh, axis=0, keepdims=True)
+            acc("t0", [_dotT_a(e, d) for e, d in zip(encxs, dhs_b)])
+            acc("b0", [jnp.sum(d, axis=0, keepdims=True) for d in dhs])
         else:
-            douts[f"t{i}"][:] += _dotT_a(h_prev, dh.astype(bf16))
-            douts[f"b{i}"][:] += jnp.sum(dh, axis=0, keepdims=True)
-            dh = _dot_bT(dh.astype(bf16), ws[f"t{i}"])
+            acc(f"t{i}", [_dotT_a(h, d) for h, d in zip(h_prevs, dhs_b)])
+            acc(f"b{i}", [jnp.sum(d, axis=0, keepdims=True) for d in dhs])
+            dhs = [_dot_bT(d, ws[f"t{i}"]) for d in dhs_b]
 
 
-def _bwd_kernel(n_layers, skip, names, *refs):
+def _bwd_kernel(n_layers, skip, names, interleave, *refs):
     """Recompute backward: refs = (encx, encd, dout128, *weights,
     *dweight_outs). The whole forward is re-run per row-block in VMEM (zero
     activation HBM traffic)."""
@@ -205,28 +246,34 @@ def _bwd_kernel(n_layers, skip, names, *refs):
         for n in names:
             douts[n][:] = jnp.zeros_like(douts[n])
 
-    encx = encx_ref[:]
-    encd = encd_ref[:]
-    _, _, sv = _fwd_compute(encx, encd, ws, n_layers, skip, save=True)
-    _bwd_grads(n_layers, skip, names, ws, douts, encx, encd, dout_ref[:], sv)
+    encxs = _split_rows(encx_ref[:], interleave)
+    encds = _split_rows(encd_ref[:], interleave)
+    _, _, sv = _fwd_compute(encxs, encds, ws, n_layers, skip, save=True)
+    _bwd_grads(n_layers, skip, names, ws, douts, encxs, encds,
+               _split_rows(dout_ref[:], interleave), sv)
 
 
-def _fwd_kernel_save(n_layers, skip, names, *refs):
+def _fwd_kernel_save(n_layers, skip, names, interleave, *refs):
     """Forward kernel that ALSO streams the trunk activation chain to HBM
     (acts_ref [BN, n_layers*D] bf16) for the saved-activations backward."""
     encx_ref, encd_ref = refs[0], refs[1]
     ws = {n: refs[2 + i][:] for i, n in enumerate(names)}
     out_ref, acts_ref = refs[2 + len(names)], refs[3 + len(names)]
-    rgb, sigma, sv = _fwd_compute(encx_ref[:], encd_ref[:], ws,
-                                  n_layers, skip, save=True)
+    encxs = _split_rows(encx_ref[:], interleave)
+    encds = _split_rows(encd_ref[:], interleave)
+    rgbs, sigmas, sv = _fwd_compute(encxs, encds, ws, n_layers, skip,
+                                    save=True)
     D = ws["w_conn"].shape[0]
+    sub = out_ref.shape[0] // interleave
     for i, h_i in enumerate(sv["h"]):
-        acts_ref[:, i * D:(i + 1) * D] = h_i
-    out_ref[:, 0:3] = rgb[:, 0:3]
-    out_ref[:, 3:4] = sigma[:, 0:1]
+        for j in range(interleave):
+            acts_ref[j * sub:(j + 1) * sub, i * D:(i + 1) * D] = h_i[j]
+    for j in range(interleave):
+        out_ref[j * sub:(j + 1) * sub, 0:3] = rgbs[j][:, 0:3]
+        out_ref[j * sub:(j + 1) * sub, 3:4] = sigmas[j][:, 0:1]
 
 
-def _bwd_kernel_saved(n_layers, skip, names, *refs):
+def _bwd_kernel_saved(n_layers, skip, names, interleave, *refs):
     """Saved-activations backward: refs = (encx, encd, dout128, acts,
     *weights, *dweight_outs). Reads the trunk chain saved by
     _fwd_kernel_save and recomputes only the head stack (~0.2 vs ~1.0
@@ -242,19 +289,21 @@ def _bwd_kernel_saved(n_layers, skip, names, *refs):
         for n in names:
             douts[n][:] = jnp.zeros_like(douts[n])
 
-    encd = encd_ref[:]
+    encds = _split_rows(encd_ref[:], interleave)
     acts = acts_ref[:]
     D = ws["w_conn"].shape[0]
-    h = [acts[:, i * D:(i + 1) * D] for i in range(n_layers)]
-    feat, br, rgb = _heads_compute(h[-1], encd, ws)
-    sv = {"h": h, "feat": feat, "br": br, "rgb": rgb}
-    _bwd_grads(n_layers, skip, names, ws, douts, encx_ref[:], encd,
-               dout_ref[:], sv)
+    acts_s = _split_rows(acts, interleave)
+    h = [[a[:, i * D:(i + 1) * D] for a in acts_s] for i in range(n_layers)]
+    feats, brs, rgbs = _heads_compute(h[-1], encds, ws)
+    sv = {"h": h, "feat": feats, "br": brs, "rgb": rgbs}
+    _bwd_grads(n_layers, skip, names, ws, douts,
+               _split_rows(encx_ref[:], interleave), encds,
+               _split_rows(dout_ref[:], interleave), sv)
 
 
 def make_fused_train_mlp(n_layers: int, skip: Tuple[int, ...],
                          block_rows: int = 1024, interpret: bool = False,
-                         save_acts: bool = False):
+                         save_acts: bool = False, interleave: int = 1):
     """Build a custom-VJP fused MLP: (flat_weights, encx, encd) -> [N, 4].
 
     flat_weights order = _weight_names(n_layers, skip); shapes as produced by
@@ -269,8 +318,18 @@ def make_fused_train_mlp(n_layers: int, skip: Tuple[int, ...],
     modes on v5e (the acts block double-buffers next to the resident f32
     grad accumulators) and measured fastest e2e — see
     benchmarks/ab_save_acts.py / ab_block_rows.py.
+
+    interleave: split each row block into this many independent sub-chains
+    with layer-wise interleaved emission — gives Mosaic's scheduler
+    cross-chain ILP to overlap one sub-block's VPU tail (bias+relu+cast)
+    with another's MXU GEMM. 1 = single chain (the original emission).
+    Gradients for interleave>1 differ from 1 only in f32 accumulation
+    order (partial-sum adds vs one longer MXU contraction).
     """
     names = _weight_names(n_layers, skip)
+    if block_rows % interleave:
+        raise ValueError(f"interleave {interleave} must divide block_rows "
+                         f"{block_rows}")
 
     def row_spec(cols):
         return pl.BlockSpec((block_rows, cols), lambda i: (i, 0),
@@ -281,14 +340,14 @@ def make_fused_train_mlp(n_layers: int, skip: Tuple[int, ...],
         if save:
             D = flat[names.index("w_conn")].shape[0]
             kern = functools.partial(_fwd_kernel_save, n_layers,
-                                     tuple(skip), names)
+                                     tuple(skip), names, interleave)
             out_specs = (row_spec(4), row_spec(n_layers * D))
             out_shape = (jax.ShapeDtypeStruct((n, 4), jnp.float32),
                          jax.ShapeDtypeStruct((n, n_layers * D),
                                               jnp.bfloat16))
         else:
             kern = functools.partial(_fwd_kernel, n_layers, tuple(skip),
-                                     names)
+                                     names, interleave)
             out_specs = row_spec(4)
             out_shape = jax.ShapeDtypeStruct((n, 4), jnp.float32)
         return pl.pallas_call(
@@ -315,12 +374,12 @@ def make_fused_train_mlp(n_layers: int, skip: Tuple[int, ...],
                                  memory_space=pltpu.VMEM) for w in flat]
         if save_acts:
             kern = functools.partial(_bwd_kernel_saved, n_layers,
-                                     tuple(skip), names)
+                                     tuple(skip), names, interleave)
             operands = (encx, encd, dout128, acts)
             acts_specs = [row_spec(acts.shape[1])]
         else:
             kern = functools.partial(_bwd_kernel, n_layers, tuple(skip),
-                                     names)
+                                     names, interleave)
             operands = (encx, encd, dout128)
             acts_specs = []
         return pl.pallas_call(
@@ -370,6 +429,7 @@ def make_fused_train_model_fn(
     block_rows: Optional[int] = None,
     interpret: bool = False,
     save_acts: Optional[bool] = None,
+    interleave: Optional[int] = None,
 ):
     """Drop-in trainable model_fn factory for the train step.
 
@@ -380,7 +440,8 @@ def make_fused_train_model_fn(
 
     save_acts: None resolves from model_cfg.fused_save_acts (see
     ModelConfig). block_rows: None = model_cfg.fused_block_rows, else the
-    measured v5e optimum (1024 for both backward modes).
+    measured v5e optimum (1024 for both backward modes). interleave: None =
+    model_cfg.fused_interleave (sub-chain ILP, see make_fused_train_mlp).
     """
     from fsnerf_tpu.core.encoding import positional_encoding
 
@@ -396,9 +457,12 @@ def make_fused_train_model_fn(
         # accumulators): e2e 366.4k (512) -> 374.9k (1024) rays/s at the
         # bench workload; isolation sweep agrees (ab_block_rows.py).
         block_rows = 1024
+    if interleave is None:
+        interleave = getattr(model_cfg, "fused_interleave", None) or 1
     fused, _ = make_fused_train_mlp(n_layers, skip, block_rows=block_rows,
                                     interpret=interpret,
-                                    save_acts=save_acts)
+                                    save_acts=save_acts,
+                                    interleave=interleave)
 
     def apply_fn(params, x, dirs, pos_mask=None, dir_mask=None):
         prepped = prep_params(params, n_layers=n_layers, skip=skip)

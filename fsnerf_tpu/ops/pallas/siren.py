@@ -11,14 +11,25 @@ Precision: every GEMM accumulates f32 on the MXU from bf16 operands and the
 sine argument stays f32 (SIREN phase precision; core/models.py:185-193 does
 the same) — activations are consumed bf16 by the next GEMM.
 
-Backward recomputes the forward per row-block in VMEM, keeping the
-PRE-activation y_i (f32) alive for the sine derivative (block_rows 256:
-the 8-layer f32 y-list + f32 grad accumulators + temps exceed the 16 MB
-VMEM at 512 rows)
-d sin(a y) = a cos(a y) — unlike ReLU, the sign of cos is not recoverable
-from the activation, so y itself is what's held. Weight/bias grads
-accumulate across grid steps in VMEM-resident outputs (constant index map),
-as in the NeRF train kernel.
+Two backward modes (mirrors ops/pallas/mlp_train.py):
+
+* recompute (save_acts=False): re-run the forward per row-block in VMEM,
+  keeping the PRE-activation y_i (f32) alive for the sine derivative
+  d sin(a y) = a cos(a y) — unlike ReLU, the sign of cos is not
+  recoverable from the activation, so y itself is what's held. The
+  8-layer f32 y-list caps block_rows at 256 (512 exceeds 16 MB VMEM).
+* saved-acts (save_acts=True): the forward streams BOTH the activation
+  h_i = sin(a_i y_i) AND the premultiplied derivative a_i cos(a_i y_i)
+  to HBM as bf16 ([N, 2*n_layers*D]); the backward reads them and
+  recomputes only the head stack — no trunk GEMMs and, critically, no
+  transcendentals in the backward (sin/cos are multi-op VPU sequences).
+  Without the f32 y-list the row block rises to 512. Gradients differ
+  from the recompute mode only by the bf16 rounding of the saved cos
+  factor (the recompute mode holds it f32); equivalence is tolerance-
+  tested in tests/test_pallas.py.
+
+Weight/bias grads accumulate across grid steps in VMEM-resident outputs
+(constant index map), as in the NeRF train kernel.
 
 Equivalence (values and grads) vs core.models.SiNeRF is tested in
 tests/test_pallas.py.
@@ -27,7 +38,7 @@ tests/test_pallas.py.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -92,30 +103,21 @@ def _flat_siren(prepped, n_layers):
     return [prepped[n] for n in siren_weight_names(n_layers)]
 
 
-def _fwd_siren(x, d, ws, n_layers, alphas, save=False):
-    """Shared forward math; x/d are padded bf16 inputs.
+def _heads_siren(h_last, d, ws, save=False):
+    """Density + color head stack from the last trunk activation.
 
-    Returns (rgb [bN, 128] lanes 0..2, sigma [bN, 128] lane 0, saved)."""
+    Shared by the forward and by BOTH backwards (the saved-acts backward
+    recomputes only this — ~0.2 MFLOP/sample vs ~1.1 for the trunk)."""
     f32 = jnp.float32
     bf16 = jnp.bfloat16
-    sv = {"y": []}
-    h = x
-    for i in range(n_layers):
-        y = (jnp.dot(h, ws[f"t{i}"], preferred_element_type=f32)
-             + ws[f"b{i}"])
-        if save:
-            sv["y"].append(y)
-        h = jnp.sin(alphas[i] * y).astype(bf16)
-    if save:
-        sv["h_last"] = h
-
-    ys = jnp.dot(h, ws["ws0"], preferred_element_type=f32) + ws["bs0"]
+    sv = {}
+    ys = jnp.dot(h_last, ws["ws0"], preferred_element_type=f32) + ws["bs0"]
     s_s = jnp.sin(ys).astype(bf16)
     sigma_pre = (jnp.dot(s_s, ws["ws1"], preferred_element_type=f32)
                  + ws["bs1"])
     sigma = jnp.maximum(sigma_pre, 0.0)
 
-    feat = (jnp.dot(h, ws["wf"], preferred_element_type=f32)
+    feat = (jnp.dot(h_last, ws["wf"], preferred_element_type=f32)
             + ws["bf"]).astype(bf16)
     yr = (jnp.dot(feat, ws["wr0f"], preferred_element_type=f32)
           + jnp.dot(d, ws["wr0d"], preferred_element_type=f32) + ws["br0"])
@@ -128,6 +130,34 @@ def _fwd_siren(x, d, ws, n_layers, alphas, save=False):
     return rgb, sigma, sv
 
 
+def _fwd_siren(x, d, ws, n_layers, alphas, save=False, save_hc=False):
+    """Shared forward math; x/d are padded bf16 inputs.
+
+    save: keep the f32 pre-activations y_i (recompute backward).
+    save_hc: keep the bf16 activations h_i AND the bf16 premultiplied sine
+    derivatives a_i cos(a_i y_i) (streamed to HBM by the save-acts forward).
+    Returns (rgb [bN, 128] lanes 0..2, sigma [bN, 128] lane 0, saved)."""
+    f32 = jnp.float32
+    bf16 = jnp.bfloat16
+    sv = {"y": [], "h": [], "c": []}
+    h = x
+    for i in range(n_layers):
+        y = (jnp.dot(h, ws[f"t{i}"], preferred_element_type=f32)
+             + ws[f"b{i}"])
+        if save:
+            sv["y"].append(y)
+        h = jnp.sin(alphas[i] * y).astype(bf16)
+        if save_hc:
+            sv["h"].append(h)
+            sv["c"].append((alphas[i] * jnp.cos(alphas[i] * y)).astype(bf16))
+    if save or save_hc:
+        sv["h_last"] = h
+
+    rgb, sigma, head_sv = _heads_siren(h, d, ws, save=save or save_hc)
+    sv.update(head_sv)
+    return rgb, sigma, sv
+
+
 def _fwd_kernel(n_layers, alphas, names, *refs):
     x_ref, d_ref = refs[0], refs[1]
     ws = {n: refs[2 + i][:] for i, n in enumerate(names)}
@@ -137,23 +167,16 @@ def _fwd_kernel(n_layers, alphas, names, *refs):
     out_ref[:, 3:4] = sigma[:, 0:1]
 
 
-def _bwd_kernel(n_layers, alphas, names, *refs):
-    x_ref, d_ref, dout_ref = refs[0], refs[1], refs[2]
-    ws = {n: refs[3 + i][:] for i, n in enumerate(names)}
-    douts = {n: refs[3 + len(names) + i] for i, n in enumerate(names)}
+def _bwd_grads_siren(n_layers, names, ws, douts, x, d, dout, hs, cs, sv):
+    """Shared gradient math for both backward kernels.
 
-    @pl.when(pl.program_id(0) == 0)
-    def _init():
-        for n in names:
-            douts[n][:] = jnp.zeros_like(douts[n])
-
+    hs[i]: bf16 trunk activation sin(a_i y_i); cs[i]: PREMULTIPLIED sine
+    derivative a_i cos(a_i y_i) (f32 in the recompute kernel, bf16 in the
+    saved-acts kernel); sv: head activations from _heads_siren(save=True).
+    dout: [bN, 128] f32 upstream cotangent (lanes 0..2 = d rgb, 3 = d
+    sigma)."""
     f32 = jnp.float32
     bf16 = jnp.bfloat16
-    x = x_ref[:]
-    d = d_ref[:]
-    _, _, sv = _fwd_siren(x, d, ws, n_layers, alphas, save=True)
-
-    dout = dout_ref[:]                                # [bN, 128] f32
     lane = jax.lax.broadcasted_iota(jnp.int32, dout.shape, 1)
 
     # rgb head: sigmoid' in lanes 0..2
@@ -167,7 +190,7 @@ def _bwd_kernel(n_layers, alphas, names, *refs):
     douts["br0"][:] += jnp.sum(dyr, axis=0, keepdims=True)
 
     dfeat = _dot_bT(dyr.astype(bf16), ws["wr0f"])
-    h_last = sv["h_last"]
+    h_last = hs[-1]
     douts["wf"][:] += _dotT_a(h_last, dfeat.astype(bf16))
     douts["bf"][:] += jnp.sum(dfeat, axis=0, keepdims=True)
     dh = _dot_bT(dfeat.astype(bf16), ws["wf"])
@@ -182,76 +205,170 @@ def _bwd_kernel(n_layers, alphas, names, *refs):
     douts["bs0"][:] += jnp.sum(dys, axis=0, keepdims=True)
     dh = dh + _dot_bT(dys.astype(bf16), ws["ws0"])
 
-    # sine trunk backward: d sin(a y) = a cos(a y)
+    # sine trunk backward: d sin(a y) = a cos(a y), premultiplied in cs
     for i in range(n_layers - 1, -1, -1):
-        dy = dh * (alphas[i] * jnp.cos(alphas[i] * sv["y"][i]))
-        h_prev = x if i == 0 else jnp.sin(
-            alphas[i - 1] * sv["y"][i - 1]).astype(bf16)
+        dy = dh * cs[i].astype(f32)
+        h_prev = x if i == 0 else hs[i - 1]
         douts[f"t{i}"][:] += _dotT_a(h_prev, dy.astype(bf16))
         douts[f"b{i}"][:] += jnp.sum(dy, axis=0, keepdims=True)
         if i > 0:
             dh = _dot_bT(dy.astype(bf16), ws[f"t{i}"])
 
 
+def _bwd_kernel(n_layers, alphas, names, *refs):
+    """Recompute backward: the whole forward re-runs per row-block in VMEM
+    (zero activation HBM traffic); cos factors held f32."""
+    x_ref, d_ref, dout_ref = refs[0], refs[1], refs[2]
+    ws = {n: refs[3 + i][:] for i, n in enumerate(names)}
+    douts = {n: refs[3 + len(names) + i] for i, n in enumerate(names)}
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        for n in names:
+            douts[n][:] = jnp.zeros_like(douts[n])
+
+    bf16 = jnp.bfloat16
+    x = x_ref[:]
+    d = d_ref[:]
+    _, _, sv = _fwd_siren(x, d, ws, n_layers, alphas, save=True)
+    hs = [jnp.sin(alphas[i] * sv["y"][i]).astype(bf16)
+          for i in range(n_layers - 1)] + [sv["h_last"]]
+    cs = [alphas[i] * jnp.cos(alphas[i] * sv["y"][i])
+          for i in range(n_layers)]
+    _bwd_grads_siren(n_layers, names, ws, douts, x, d, dout_ref[:],
+                     hs, cs, sv)
+
+
+def _fwd_kernel_save(n_layers, alphas, names, *refs):
+    """Forward kernel that ALSO streams the trunk activations and the
+    premultiplied sine derivatives to HBM (acts_ref [bN, 2*n_layers*D]
+    bf16: h_i at cols [i*D:(i+1)*D], a_i cos(a_i y_i) at
+    [(n_layers+i)*D:(n_layers+i+1)*D])."""
+    x_ref, d_ref = refs[0], refs[1]
+    ws = {n: refs[2 + i][:] for i, n in enumerate(names)}
+    out_ref, acts_ref = refs[2 + len(names)], refs[3 + len(names)]
+    rgb, sigma, sv = _fwd_siren(x_ref[:], d_ref[:], ws, n_layers, alphas,
+                                save_hc=True)
+    D = ws["wf"].shape[0]
+    for i in range(n_layers):
+        acts_ref[:, i * D:(i + 1) * D] = sv["h"][i]
+        acts_ref[:, (n_layers + i) * D:(n_layers + i + 1) * D] = sv["c"][i]
+    out_ref[:, 0:3] = rgb[:, 0:3]
+    out_ref[:, 3:4] = sigma[:, 0:1]
+
+
+def _bwd_kernel_saved(n_layers, alphas, names, *refs):
+    """Saved-acts backward: reads the trunk chain + derivative factors saved
+    by _fwd_kernel_save and recomputes only the head stack — no trunk GEMMs
+    and no transcendentals in the backward."""
+    x_ref, d_ref, dout_ref, acts_ref = refs[0], refs[1], refs[2], refs[3]
+    ws = {n: refs[4 + i][:] for i, n in enumerate(names)}
+    douts = {n: refs[4 + len(names) + i] for i, n in enumerate(names)}
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        for n in names:
+            douts[n][:] = jnp.zeros_like(douts[n])
+
+    d = d_ref[:]
+    acts = acts_ref[:]
+    D = ws["wf"].shape[0]
+    hs = [acts[:, i * D:(i + 1) * D] for i in range(n_layers)]
+    cs = [acts[:, (n_layers + i) * D:(n_layers + i + 1) * D]
+          for i in range(n_layers)]
+    _, _, sv = _heads_siren(hs[-1], d, ws, save=True)
+    _bwd_grads_siren(n_layers, names, ws, douts, x_ref[:], d, dout_ref[:],
+                     hs, cs, sv)
+
+
 def make_fused_siren_mlp(n_layers: int, alphas: Tuple[float, ...],
-                         block_rows: int = 256, interpret: bool = False):
-    """Custom-VJP fused SiNeRF: (flat_weights, x_pad, d_pad) -> [N, 4]."""
+                         block_rows: int = 256, interpret: bool = False,
+                         save_acts: bool = False):
+    """Custom-VJP fused SiNeRF: (flat_weights, x_pad, d_pad) -> [N, 4].
+
+    save_acts: stream the trunk activations + premultiplied sine
+    derivatives ([N, 2*n_layers*D] bf16) to HBM in the forward and skip the
+    trunk recompute (GEMMs AND transcendentals) in the backward. Without
+    the recompute's f32 y-list the row block can rise past the 256-row
+    VMEM ceiling of the recompute mode (pass block_rows explicitly)."""
     names = siren_weight_names(n_layers)
     alphas = tuple(float(a) for a in alphas)
 
-    def fwd_call(flat, x, d):
+    def row_spec(cols):
+        return pl.BlockSpec((block_rows, cols), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+
+    def fwd_call(flat, x, d, save):
         n = x.shape[0]
-        kern = functools.partial(_fwd_kernel, n_layers, alphas, names)
+        if save:
+            D = flat[names.index("wf")].shape[0]
+            kern = functools.partial(_fwd_kernel_save, n_layers, alphas,
+                                     names)
+            out_specs = (row_spec(4), row_spec(2 * n_layers * D))
+            out_shape = (jax.ShapeDtypeStruct((n, 4), jnp.float32),
+                         jax.ShapeDtypeStruct((n, 2 * n_layers * D),
+                                              jnp.bfloat16))
+        else:
+            kern = functools.partial(_fwd_kernel, n_layers, alphas, names)
+            out_specs = row_spec(4)
+            out_shape = jax.ShapeDtypeStruct((n, 4), jnp.float32)
         return pl.pallas_call(
             kern,
             grid=(n // block_rows,),
             in_specs=[
-                pl.BlockSpec((block_rows, x.shape[1]), lambda i: (i, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((block_rows, d.shape[1]), lambda i: (i, 0),
-                             memory_space=pltpu.VMEM),
+                row_spec(x.shape[1]),
+                row_spec(d.shape[1]),
                 *[pl.BlockSpec(memory_space=pltpu.VMEM) for _ in flat],
             ],
-            out_specs=pl.BlockSpec((block_rows, 4), lambda i: (i, 0),
-                                   memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((n, 4), jnp.float32),
+            out_specs=out_specs,
+            out_shape=out_shape,
             interpret=interpret,
         )(x, d, *flat)
 
-    def bwd_call(flat, x, d, dout):
+    def bwd_call(flat, x, d, acts, dout):
         n = x.shape[0]
         dout128 = jnp.pad(dout.astype(jnp.float32), ((0, 0), (0, 124)))
-        kern = functools.partial(_bwd_kernel, n_layers, alphas, names)
         dw_shapes = [jax.ShapeDtypeStruct(w.shape, jnp.float32) for w in flat]
         dw_specs = [pl.BlockSpec(w.shape, lambda i: (0, 0),
                                  memory_space=pltpu.VMEM) for w in flat]
+        if save_acts:
+            kern = functools.partial(_bwd_kernel_saved, n_layers, alphas,
+                                     names)
+            operands = (x, d, dout128, acts)
+            acts_specs = [row_spec(acts.shape[1])]
+        else:
+            kern = functools.partial(_bwd_kernel, n_layers, alphas, names)
+            operands = (x, d, dout128)
+            acts_specs = []
         return pl.pallas_call(
             kern,
             grid=(n // block_rows,),
             in_specs=[
-                pl.BlockSpec((block_rows, x.shape[1]), lambda i: (i, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((block_rows, d.shape[1]), lambda i: (i, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((block_rows, 128), lambda i: (i, 0),
-                             memory_space=pltpu.VMEM),
+                row_spec(x.shape[1]),
+                row_spec(d.shape[1]),
+                row_spec(128),
+                *acts_specs,
                 *[pl.BlockSpec(memory_space=pltpu.VMEM) for _ in flat],
             ],
             out_specs=tuple(dw_specs),
             out_shape=tuple(dw_shapes),
             interpret=interpret,
-        )(x, d, dout128, *flat)
+        )(*operands, *flat)
 
     @jax.custom_vjp
     def fused(flat, x, d):
-        return fwd_call(flat, x, d)
+        # primal (non-differentiated) calls never save (see mlp_train.py)
+        return fwd_call(flat, x, d, save=False)
 
     def fused_fwd(flat, x, d):
-        return fwd_call(flat, x, d), (flat, x, d)
+        if save_acts:
+            out, acts = fwd_call(flat, x, d, save=True)
+            return out, (flat, x, d, acts)
+        return fwd_call(flat, x, d, save=False), (flat, x, d, None)
 
     def fused_bwd(res, dout):
-        flat, x, d = res
-        dws = bwd_call(flat, x, d, dout)
+        flat, x, d, acts = res
+        dws = bwd_call(flat, x, d, acts, dout)
         dws = [g.astype(w.dtype) for g, w in zip(dws, flat)]
         return (type(flat)(dws) if isinstance(flat, tuple) else dws,
                 jnp.zeros_like(x), jnp.zeros_like(d))
@@ -260,15 +377,25 @@ def make_fused_siren_mlp(n_layers: int, alphas: Tuple[float, ...],
     return fused
 
 
-def make_fused_siren_model_fn(model_cfg, enc_cfg=None, block_rows: int = 256,
-                              interpret: bool = False):
+def make_fused_siren_model_fn(model_cfg, enc_cfg=None,
+                              block_rows: Optional[int] = None,
+                              interpret: bool = False,
+                              save_acts: Optional[bool] = None):
     """Drop-in trainable model_fn for SiNeRF (mirrors
     mlp_train.make_fused_train_model_fn's signature; FreeNeRF frequency
-    masks are no-ops for SiNeRF — it consumes raw coordinates)."""
+    masks are no-ops for SiNeRF — it consumes raw coordinates).
+
+    save_acts: None resolves from model_cfg.siren_save_acts (see
+    ModelConfig). block_rows: None = per-mode v5e optimum (512 saved-acts /
+    256 recompute — the recompute's f32 y-list caps it, see module doc)."""
     n_layers = model_cfg.n_layers
     alphas = (30.0,) + (1.0,) * (n_layers - 1)      # run-nerf.py:69
+    if save_acts is None:
+        save_acts = bool(getattr(model_cfg, "siren_save_acts", True))
+    if block_rows is None:
+        block_rows = 512 if save_acts else 256
     fused = make_fused_siren_mlp(n_layers, alphas, block_rows=block_rows,
-                                 interpret=interpret)
+                                 interpret=interpret, save_acts=save_acts)
 
     def apply_fn(params, x, dirs, pos_mask=None, dir_mask=None):
         prepped = prep_siren_params(params, n_layers=n_layers)

@@ -170,6 +170,47 @@ def test_fused_train_saved_acts_bitwise_matches_recompute(small_setup):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+@pytest.mark.parametrize("save_acts", [False, True])
+def test_fused_train_interleave_matches_single_chain(small_setup, save_acts):
+    """interleave>1 (sub-chain ILP emission) reproduces interleave=1: the
+    forward is bitwise identical (each sub-block runs the same math on its
+    own rows); grads differ only in f32 accumulation order (J partial-sum
+    adds vs one longer row contraction)."""
+    from fsnerf_tpu.ops.pallas.mlp import prep_params as prep
+    from fsnerf_tpu.ops.pallas.mlp_train import (
+        _flat_from_prepped, make_fused_train_mlp)
+
+    _, params = small_setup
+    x, d = _inputs(256, seed=13)
+    pr = prep(params, n_layers=4, skip=(2,))
+    flat = tuple(_flat_from_prepped(pr))
+    encx = positional_encoding(x, 4, True)
+    encd = positional_encoding(d, 2, True)
+    ex = jnp.zeros((256, pr["d_enc_pad"]), jnp.bfloat16
+                   ).at[:, :encx.shape[1]].set(encx.astype(jnp.bfloat16))
+    ed = jnp.zeros((256, pr["d_dir_pad"]), jnp.bfloat16
+                   ).at[:, :encd.shape[1]].set(encd.astype(jnp.bfloat16))
+
+    outs, grads = {}, {}
+    for j in (1, 2, 4):
+        fused, _ = make_fused_train_mlp(4, (2,), block_rows=128,
+                                        interpret=True, save_acts=save_acts,
+                                        interleave=j)
+
+        def loss(flat):
+            return jnp.sum(fused(flat, ex, ed) ** 2)
+
+        outs[j] = np.asarray(fused(flat, ex, ed))
+        grads[j] = jax.grad(loss)(flat)
+
+    for j in (2, 4):
+        np.testing.assert_array_equal(outs[1], outs[j])
+        for a, b in zip(grads[1], grads[j]):
+            a, b = np.asarray(a, np.float32), np.asarray(b, np.float32)
+            scale = np.abs(a).max() + 1e-8
+            assert np.abs(a - b).max() / scale < 1e-3
+
+
 def test_fused_train_model_fn_in_train_step():
     """End-to-end: a few fused-kernel training steps run and reduce loss
     (interpret mode on CPU)."""
@@ -457,6 +498,41 @@ def test_fused_siren_vjp_matches_autodiff():
         a, b = np.asarray(a), np.asarray(b)
         scale = np.abs(b).max() + 1e-9
         np.testing.assert_allclose(a / scale, b / scale, atol=4e-2,
+                                   err_msg=str(k1))
+
+
+def test_fused_siren_saved_acts_matches_recompute():
+    """Saved-acts SIREN backward vs the recompute backward: primal values
+    are bitwise identical (primal calls never save); gradients agree to the
+    bf16 rounding of the saved cos factor (the recompute holds it f32)."""
+    from fsnerf_tpu.config import ModelConfig
+    from fsnerf_tpu.ops.pallas.siren import make_fused_siren_model_fn
+
+    _, params = _siren_setup()
+    x, d = _inputs(128, seed=15)
+    tgt = jnp.asarray(np.random.default_rng(3).uniform(0, 1, (128, 4)),
+                      jnp.float32)
+    cfg = ModelConfig(model="sinerf", n_layers=4, d_filter=64)
+    outs, grads = {}, {}
+    for mode in (False, True):
+        fn = make_fused_siren_model_fn(cfg, block_rows=64, interpret=True,
+                                       save_acts=mode)
+
+        def loss(p):
+            return jnp.mean((fn(p, x, d) - tgt) ** 2)
+
+        outs[mode] = np.asarray(fn(params, x, d))
+        grads[mode] = jax.grad(loss)(params)
+
+    np.testing.assert_array_equal(outs[False], outs[True])
+    for (k1, a), (_, b) in zip(
+            sorted(jax.tree_util.tree_leaves_with_path(grads[False]),
+                   key=lambda kv: str(kv[0])),
+            sorted(jax.tree_util.tree_leaves_with_path(grads[True]),
+                   key=lambda kv: str(kv[0]))):
+        a, b = np.asarray(a, np.float32), np.asarray(b, np.float32)
+        scale = np.abs(a).max() + 1e-9
+        np.testing.assert_allclose(b / scale, a / scale, atol=1e-2,
                                    err_msg=str(k1))
 
 
