@@ -40,6 +40,7 @@ def arm_config(arm: str, seed: int, iters: int):
                                    TrainConfig)
     samp = dict(strategy="occgrid")
     train_kw = {}
+    model_kw = {}
     if arm == "r3fix":
         samp.update(query_stride=4, query_dilation=1)   # pre-r3s8 defaults
     elif arm == "r3s8":
@@ -55,10 +56,17 @@ def arm_config(arm: str, seed: int, iters: int):
     elif arm == "K192s1":
         samp.update(query_stride=1, query_dilation=0, update_interval_late=0,
                     adapt_compact=False, n_compact=192)
+    elif arm in ("sinerf_sa", "sinerf_rc"):
+        # SiNeRF backward-mode quality guard: saved-acts (bf16 cos factor)
+        # vs recompute (f32 cos) — ops/pallas/siren.py
+        model_kw = {"model": "sinerf",
+                    "siren_save_acts": arm == "sinerf_sa"}
     else:
         raise ValueError(arm)
+    from fsnerf_tpu.config import ModelConfig
     return Config(
         data=DataConfig(dataset="sphere", white_bkgd=True),
+        model=ModelConfig(**model_kw),
         sampling=SamplingConfig(**samp),
         train=TrainConfig(n_iters=iters, seed=seed, **train_kw),
     )

@@ -31,6 +31,16 @@ from jax.experimental.pallas import tpu as pltpu
 from fsnerf_tpu.ops.pallas.mlp import _round_up, prep_params  # noqa: F401
 
 
+# Backward-kernel bias grads as ones-vector MXU contractions instead of VPU
+# cross-sublane reductions. MEASURED WORSE on v5e (-3.5% occgrid / -3.3%
+# hierarchical, benchmarks/ab_bias_grads.py): Mosaic already overlaps the
+# VPU reductions with the dW/dh GEMMs, and the skinny [bN,1]x[bN,256]
+# ones-GEMMs serialize extra MXU fronts instead — the mirror image of the
+# round-2 "VPU lane-reduce heads" dead end (docs/ROADMAP.md). Kept as a
+# switch for other TPU generations.
+MXU_BIAS_GRADS = False
+
+
 def _sigmoid(x):
     return jax.nn.sigmoid(x)
 
@@ -147,6 +157,19 @@ def _fwd_kernel(n_layers, skip, names, interleave, *refs):
         out_ref[j * sub:(j + 1) * sub, 3:4] = sigmas[j][:, 0:1]
 
 
+def _expand_dout(dout16):
+    """[bN, 16] f32 -> [bN, 128]: tile the 16 cotangent lanes 8x.
+
+    The upstream cotangent is only 4 real lanes (d rgb in 0..2, d sigma in
+    3); shipping it to the kernel padded to 128 f32 lanes costs ~16x the
+    HBM traffic of the real data (pad write + kernel read — ~58 MB/step at
+    the bench workload). Instead the host side pads to 16 lanes and the
+    kernel tiles to 128 here (one VPU pass); every consumer masks by lane
+    (lane < 3 / lane == 0 after roll), and lanes 4..15 are zero from the
+    pad, so the tiled copies at lanes >= 16 are masked off identically."""
+    return jnp.concatenate([dout16] * 8, axis=1)
+
+
 def _dotT_a(a, b):
     """a^T @ b without a transpose op: contract row dims. [N,I]x[N,J]->[I,J]."""
     return jax.lax.dot_general(a, b, (((0,), (0,)), ((), ())),
@@ -164,7 +187,9 @@ def _bwd_grads(n_layers, skip, names, ws, douts, encxs, encds, dout_bs, sv):
     kernels: accumulate weight/bias grads into `douts` from the activations
     in `sv` (keys: h list-of-lists, feat, br, rgb — lists over row
     sub-blocks, see _heads_compute) and the upstream cotangent sub-blocks
-    `dout_bs` ([BN/J, 128] f32: lanes 0..2 = d rgb, lane 3 = d sigma)."""
+    `dout_bs` ([BN/J, 128] f32, tiled from 16 real lanes by _expand_dout:
+    lanes 0..2 = d rgb, lane 3 = d sigma, every other lane masked off by
+    the per-consumer lane tests below)."""
     f32 = jnp.float32
     bf16 = jnp.bfloat16
     J = len(encxs)
@@ -175,43 +200,57 @@ def _bwd_grads(n_layers, skip, names, ws, douts, encxs, encds, dout_bs, sv):
             g = g + p
         douts[name][:] += g
 
+    if MXU_BIAS_GRADS:
+        # bias grads as ones-vector MXU contractions on the bf16 cotangents
+        # (already cast for the dW GEMMs) instead of VPU cross-sublane
+        # reductions — the backward's VPU work (relu masks, casts, bias
+        # sums) is on the critical path between dependent GEMMs, the MXU
+        # has idle fronts. Numerics: bias grads see the same bf16 rounding
+        # as the weight grads (elementwise f32->bf16 pre-sum; f32 MXU
+        # accumulation).
+        ones = [jnp.ones((d.shape[0], 1), bf16) for d in dout_bs]
+
+        def bias_grad(ds_f32, ds_b16):
+            return [_dotT_a(o, d) for o, d in zip(ones, ds_b16)]
+    else:
+        def bias_grad(ds_f32, ds_b16):
+            return [jnp.sum(d, axis=0, keepdims=True) for d in ds_f32]
+
     lanes = [jax.lax.broadcasted_iota(jnp.int32, d.shape, 1) for d in dout_bs]
 
     # rgb head: sigmoid backward in lanes 0..2 (rgb's padded cols are
     # sigmoid(bias_pad)=0.5 but masked out here)
     drgb_pres = [jnp.where(l < 3, d * r * (1.0 - r), 0.0)
                  for l, d, r in zip(lanes, dout_bs, sv["rgb"])]
-    acc("w_rgb", [_dotT_a(b, d.astype(bf16))
-                  for b, d in zip(sv["br"], drgb_pres)])
-    acc("b_rgb", [jnp.sum(d, axis=0, keepdims=True) for d in drgb_pres])
+    drgb_b = [d.astype(bf16) for d in drgb_pres]
+    acc("w_rgb", [_dotT_a(b, d) for b, d in zip(sv["br"], drgb_b)])
+    acc("b_rgb", bias_grad(drgb_pres, drgb_b))
 
-    dbrs = [_dot_bT(d.astype(bf16), ws["w_rgb"]) for d in drgb_pres]
+    dbrs = [_dot_bT(d, ws["w_rgb"]) for d in drgb_b]
     # relu' (f32 cmp: Mosaic lacks bf16 compare)
     dbrs = [jnp.where(b.astype(f32) > 0, d, 0.0)
             for b, d in zip(sv["br"], dbrs)]
-    acc("w_branch_h", [_dotT_a(f, d.astype(bf16))
-                       for f, d in zip(sv["feat"], dbrs)])
-    acc("w_branch_d", [_dotT_a(e, d.astype(bf16))
-                       for e, d in zip(encds, dbrs)])
-    acc("b_branch", [jnp.sum(d, axis=0, keepdims=True) for d in dbrs])
+    dbrs_b = [d.astype(bf16) for d in dbrs]
+    acc("w_branch_h", [_dotT_a(f, d) for f, d in zip(sv["feat"], dbrs_b)])
+    acc("w_branch_d", [_dotT_a(e, d) for e, d in zip(encds, dbrs_b)])
+    acc("b_branch", bias_grad(dbrs, dbrs_b))
 
-    dfeats = [_dot_bT(d.astype(bf16), ws["w_branch_h"]) for d in dbrs]
+    dfeats = [_dot_bT(d, ws["w_branch_h"]) for d in dbrs_b]
+    dfeats_b = [d.astype(bf16) for d in dfeats]
     h_lasts = sv["h"][-1]
-    acc("w_conn", [_dotT_a(h, d.astype(bf16))
-                   for h, d in zip(h_lasts, dfeats)])
-    acc("b_conn", [jnp.sum(d, axis=0, keepdims=True) for d in dfeats])
+    acc("w_conn", [_dotT_a(h, d) for h, d in zip(h_lasts, dfeats_b)])
+    acc("b_conn", bias_grad(dfeats, dfeats_b))
 
     # sigma head: move d sigma from lane 3 to lane 0 (w_sigma's real column);
     # roll takes non-negative shifts, so rotate by width-3 instead of -3
     dsig_pads = [jnp.where(l == 0, pltpu.roll(d, d.shape[1] - 3, 1), 0.0)
                  for l, d in zip(lanes, dout_bs)]
-    acc("w_sigma", [_dotT_a(h, d.astype(bf16))
-                    for h, d in zip(h_lasts, dsig_pads)])
-    acc("b_sigma", [jnp.sum(d, axis=0, keepdims=True) for d in dsig_pads])
+    dsig_b = [d.astype(bf16) for d in dsig_pads]
+    acc("w_sigma", [_dotT_a(h, d) for h, d in zip(h_lasts, dsig_b)])
+    acc("b_sigma", bias_grad(dsig_pads, dsig_b))
 
-    dhs = [_dot_bT(df.astype(bf16), ws["w_conn"])
-           + _dot_bT(ds.astype(bf16), ws["w_sigma"])
-           for df, ds in zip(dfeats, dsig_pads)]
+    dhs = [_dot_bT(df, ws["w_conn"]) + _dot_bT(ds, ws["w_sigma"])
+           for df, ds in zip(dfeats_b, dsig_b)]
 
     # trunk backward
     for i in range(n_layers - 1, -1, -1):
@@ -222,19 +261,19 @@ def _bwd_grads(n_layers, skip, names, ws, douts, encxs, encds, dout_bs, sv):
         if i > 0 and (i - 1) in skip:
             acc(f"t{i}a", [_dotT_a(h, d) for h, d in zip(h_prevs, dhs_b)])
             acc(f"t{i}b", [_dotT_a(e, d) for e, d in zip(encxs, dhs_b)])
-            acc(f"b{i}", [jnp.sum(d, axis=0, keepdims=True) for d in dhs])
+            acc(f"b{i}", bias_grad(dhs, dhs_b))
             dhs = [_dot_bT(d, ws[f"t{i}a"]) for d in dhs_b]
         elif i == 0:
             acc("t0", [_dotT_a(e, d) for e, d in zip(encxs, dhs_b)])
-            acc("b0", [jnp.sum(d, axis=0, keepdims=True) for d in dhs])
+            acc("b0", bias_grad(dhs, dhs_b))
         else:
             acc(f"t{i}", [_dotT_a(h, d) for h, d in zip(h_prevs, dhs_b)])
-            acc(f"b{i}", [jnp.sum(d, axis=0, keepdims=True) for d in dhs])
+            acc(f"b{i}", bias_grad(dhs, dhs_b))
             dhs = [_dot_bT(d, ws[f"t{i}"]) for d in dhs_b]
 
 
 def _bwd_kernel(n_layers, skip, names, interleave, *refs):
-    """Recompute backward: refs = (encx, encd, dout128, *weights,
+    """Recompute backward: refs = (encx, encd, dout16, *weights,
     *dweight_outs). The whole forward is re-run per row-block in VMEM (zero
     activation HBM traffic)."""
     encx_ref, encd_ref, dout_ref = refs[0], refs[1], refs[2]
@@ -250,7 +289,7 @@ def _bwd_kernel(n_layers, skip, names, interleave, *refs):
     encds = _split_rows(encd_ref[:], interleave)
     _, _, sv = _fwd_compute(encxs, encds, ws, n_layers, skip, save=True)
     _bwd_grads(n_layers, skip, names, ws, douts, encxs, encds,
-               _split_rows(dout_ref[:], interleave), sv)
+               _split_rows(_expand_dout(dout_ref[:]), interleave), sv)
 
 
 def _fwd_kernel_save(n_layers, skip, names, interleave, *refs):
@@ -274,7 +313,7 @@ def _fwd_kernel_save(n_layers, skip, names, interleave, *refs):
 
 
 def _bwd_kernel_saved(n_layers, skip, names, interleave, *refs):
-    """Saved-activations backward: refs = (encx, encd, dout128, acts,
+    """Saved-activations backward: refs = (encx, encd, dout16, acts,
     *weights, *dweight_outs). Reads the trunk chain saved by
     _fwd_kernel_save and recomputes only the head stack (~0.2 vs ~1.0
     MFLOP/sample) — cuts executed backward FLOPs by the full trunk forward
@@ -298,7 +337,7 @@ def _bwd_kernel_saved(n_layers, skip, names, interleave, *refs):
     sv = {"h": h, "feat": feats, "br": brs, "rgb": rgbs}
     _bwd_grads(n_layers, skip, names, ws, douts,
                _split_rows(encx_ref[:], interleave), encds,
-               _split_rows(dout_ref[:], interleave), sv)
+               _split_rows(_expand_dout(dout_ref[:]), interleave), sv)
 
 
 def make_fused_train_mlp(n_layers: int, skip: Tuple[int, ...],
@@ -365,8 +404,10 @@ def make_fused_train_mlp(n_layers: int, skip: Tuple[int, ...],
 
     def bwd_call(flat, encx, encd, acts, dout):
         n = encx.shape[0]
-        # pad the [N, 4] cotangent to 128 lanes for clean in-kernel masking
-        dout128 = jnp.pad(dout.astype(jnp.float32), ((0, 0), (0, 124)))
+        # pad the [N, 4] cotangent to 16 lanes only; the kernel tiles to 128
+        # (_expand_dout) — a 128-lane f32 pad here costs ~16x the real HBM
+        # traffic of the cotangent
+        dout16 = jnp.pad(dout.astype(jnp.float32), ((0, 0), (0, 12)))
         dw_shapes = [jax.ShapeDtypeStruct(w.shape, jnp.float32) for w in flat]
         # accumulated outputs: constant index map keeps each grad block
         # VMEM-resident across grid steps (all operands are 2D)
@@ -375,12 +416,12 @@ def make_fused_train_mlp(n_layers: int, skip: Tuple[int, ...],
         if save_acts:
             kern = functools.partial(_bwd_kernel_saved, n_layers,
                                      tuple(skip), names, interleave)
-            operands = (encx, encd, dout128, acts)
+            operands = (encx, encd, dout16, acts)
             acts_specs = [row_spec(acts.shape[1])]
         else:
             kern = functools.partial(_bwd_kernel, n_layers, tuple(skip),
                                      names, interleave)
-            operands = (encx, encd, dout128)
+            operands = (encx, encd, dout16)
             acts_specs = []
         return pl.pallas_call(
             kern,
@@ -388,7 +429,7 @@ def make_fused_train_mlp(n_layers: int, skip: Tuple[int, ...],
             in_specs=[
                 row_spec(encx.shape[1]),
                 row_spec(encd.shape[1]),
-                row_spec(128),
+                row_spec(16),
                 *acts_specs,
                 *[pl.BlockSpec(memory_space=pltpu.VMEM) for _ in flat],
             ],

@@ -46,7 +46,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from fsnerf_tpu.ops.pallas.mlp import _round_up
-from fsnerf_tpu.ops.pallas.mlp_train import _dotT_a, _dot_bT
+from fsnerf_tpu.ops.pallas.mlp_train import (_dotT_a, _dot_bT,
+                                             _expand_dout)
 
 
 def siren_weight_names(n_layers: int):
@@ -173,8 +174,9 @@ def _bwd_grads_siren(n_layers, names, ws, douts, x, d, dout, hs, cs, sv):
     hs[i]: bf16 trunk activation sin(a_i y_i); cs[i]: PREMULTIPLIED sine
     derivative a_i cos(a_i y_i) (f32 in the recompute kernel, bf16 in the
     saved-acts kernel); sv: head activations from _heads_siren(save=True).
-    dout: [bN, 128] f32 upstream cotangent (lanes 0..2 = d rgb, 3 = d
-    sigma)."""
+    dout: [bN, 128] f32 upstream cotangent, tiled from 16 real lanes by
+    _expand_dout (lanes 0..2 = d rgb, 3 = d sigma; all other lanes masked
+    off by the per-consumer lane tests)."""
     f32 = jnp.float32
     bf16 = jnp.bfloat16
     lane = jax.lax.broadcasted_iota(jnp.int32, dout.shape, 1)
@@ -235,8 +237,8 @@ def _bwd_kernel(n_layers, alphas, names, *refs):
           for i in range(n_layers - 1)] + [sv["h_last"]]
     cs = [alphas[i] * jnp.cos(alphas[i] * sv["y"][i])
           for i in range(n_layers)]
-    _bwd_grads_siren(n_layers, names, ws, douts, x, d, dout_ref[:],
-                     hs, cs, sv)
+    _bwd_grads_siren(n_layers, names, ws, douts, x, d,
+                     _expand_dout(dout_ref[:]), hs, cs, sv)
 
 
 def _fwd_kernel_save(n_layers, alphas, names, *refs):
@@ -277,8 +279,8 @@ def _bwd_kernel_saved(n_layers, alphas, names, *refs):
     cs = [acts[:, (n_layers + i) * D:(n_layers + i + 1) * D]
           for i in range(n_layers)]
     _, _, sv = _heads_siren(hs[-1], d, ws, save=True)
-    _bwd_grads_siren(n_layers, names, ws, douts, x_ref[:], d, dout_ref[:],
-                     hs, cs, sv)
+    _bwd_grads_siren(n_layers, names, ws, douts, x_ref[:], d,
+                     _expand_dout(dout_ref[:]), hs, cs, sv)
 
 
 def make_fused_siren_mlp(n_layers: int, alphas: Tuple[float, ...],
@@ -327,18 +329,20 @@ def make_fused_siren_mlp(n_layers: int, alphas: Tuple[float, ...],
 
     def bwd_call(flat, x, d, acts, dout):
         n = x.shape[0]
-        dout128 = jnp.pad(dout.astype(jnp.float32), ((0, 0), (0, 124)))
+        # 16-lane pad only; kernels tile to 128 (_expand_dout) — a 128-lane
+        # f32 pad costs ~16x the real cotangent HBM traffic
+        dout16 = jnp.pad(dout.astype(jnp.float32), ((0, 0), (0, 12)))
         dw_shapes = [jax.ShapeDtypeStruct(w.shape, jnp.float32) for w in flat]
         dw_specs = [pl.BlockSpec(w.shape, lambda i: (0, 0),
                                  memory_space=pltpu.VMEM) for w in flat]
         if save_acts:
             kern = functools.partial(_bwd_kernel_saved, n_layers, alphas,
                                      names)
-            operands = (x, d, dout128, acts)
+            operands = (x, d, dout16, acts)
             acts_specs = [row_spec(acts.shape[1])]
         else:
             kern = functools.partial(_bwd_kernel, n_layers, alphas, names)
-            operands = (x, d, dout128)
+            operands = (x, d, dout16)
             acts_specs = []
         return pl.pallas_call(
             kern,
@@ -346,7 +350,7 @@ def make_fused_siren_mlp(n_layers: int, alphas: Tuple[float, ...],
             in_specs=[
                 row_spec(x.shape[1]),
                 row_spec(d.shape[1]),
-                row_spec(128),
+                row_spec(16),
                 *acts_specs,
                 *[pl.BlockSpec(memory_space=pltpu.VMEM) for _ in flat],
             ],
