@@ -31,6 +31,13 @@ import json
 import sys
 import time
 
+_T0 = time.perf_counter()
+
+
+def _stamp(msg):
+    print(f"# [{time.perf_counter() - _T0:7.1f}s] {msg}", file=sys.stderr,
+          flush=True)
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -136,6 +143,7 @@ def main():
     jax.block_until_ready(metrics)
     dt = time.perf_counter() - t0
 
+    _stamp("train section done")
     n_chips = 1  # bench runs single-chip
     rays_per_sec = bench_steps * batch_size / dt / n_chips
     steps_per_sec = bench_steps / dt
@@ -181,6 +189,7 @@ def main():
         out = chunk_renderer(ro, rd)
     jax.block_until_ready(out)
     render_rays_sec = len(chunks) * 16384 / (time.perf_counter() - t0)
+    _stamp("xla render section done")
 
     # fused ray-march kernel (MLP + compositing + exact early exit in one
     # Pallas kernel, ops/pallas/render.py) on the same chunks
@@ -201,6 +210,7 @@ def main():
         out = fused_renderer(ro, rd)
     jax.block_until_ready(out)
     fused_render_rays_sec = len(chunks) * 16384 / (time.perf_counter() - t0)
+    _stamp("fused render section done")
 
     # secondary metric: hierarchical-strategy training throughput (stderr) —
     # BASELINE.json config 2 (classic coarse/fine inverse-CDF resampling),
@@ -225,6 +235,41 @@ def main():
         state_h, m_h = chunk_h(state_h, pool)
     jax.block_until_ready(m_h)
     hier_rays_sec = h_bench * batch_size / (time.perf_counter() - t0)
+    _stamp("hierarchical section done")
+
+    # secondary metric: SiNeRF training throughput (stderr) — the SIREN
+    # model family through its fused saved-acts kernel (ops/pallas/siren.py).
+    # Same steady-state protocol as the headline: warm past grid warmup +
+    # the adaptive ladder with sinerf's OWN grid/compactor, then time.
+    from fsnerf_tpu.config import ModelConfig
+    s_bench = 200
+    cfg_s = cfg.replace(
+        model=ModelConfig(model="sinerf"),
+        train=TrainConfig(n_iters=warm_steps + s_bench,
+                          batch_size=batch_size, dtype="bfloat16"))
+    model_s = make_model(cfg_s)
+    state_s = init_state(model_s, cfg_s, optimizer, scene.aabb,
+                         jax.random.key(0))
+
+    def build_chunk_s(c):
+        step_fn = make_train_step(model_s, c, optimizer, pool, scene)
+        return jax.jit(make_train_chunk(step_fn, chunk), donate_argnums=0)
+
+    compactor_s = CompactionController(cfg_s)
+    chunk_s = build_chunk_s(cfg_s)
+    for _ in range(warm_steps // chunk):
+        state_s, m_s = chunk_s(state_s, pool)
+        if compactor_s.observe(
+                float(jax.device_get(m_s["n_valid_mean"]))):
+            chunk_s = build_chunk_s(compactor_s.apply(cfg_s))
+    state_s, m_s = chunk_s(state_s, pool)
+    jax.block_until_ready(m_s)
+    t0 = time.perf_counter()
+    for _ in range(s_bench // chunk):
+        state_s, m_s = chunk_s(state_s, pool)
+    jax.block_until_ready(m_s)
+    sinerf_rays_sec = s_bench * batch_size / (time.perf_counter() - t0)
+    _stamp("sinerf section done")
 
     final_psnr = float(jax.device_get(metrics)["psnr"])
     print(json.dumps({
@@ -239,6 +284,7 @@ def main():
           f" | render {render_rays_sec:.0f} rays/s"
           f" | fused_render {fused_render_rays_sec:.0f} rays/s"
           f" | hierarchical {hier_rays_sec:.0f} rays/s"
+          f" | sinerf {sinerf_rays_sec:.0f} rays/s"
           f" | baseline anchor: 5x A100@{A100_TRAIN_RAYS_PER_SEC:.0f} rays/s",
           file=sys.stderr)
 

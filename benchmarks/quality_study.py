@@ -61,6 +61,12 @@ def arm_config(arm: str, seed: int, iters: int):
         # vs recompute (f32 cos) — ops/pallas/siren.py
         model_kw = {"model": "sinerf",
                     "siren_save_acts": arm == "sinerf_sa"}
+    elif arm == "hier":
+        # hierarchical full-scale convergence guard: the custom-VJP
+        # sorted-union merge + shared-network coarse reuse
+        # (renderer.py::_merge_sorted_union) validated at 8k iters — the
+        # dilated-od regression showed 1.8k-step benches hide collapse
+        samp = dict(strategy="hierarchical", n_samples=64, n_fine=128)
     else:
         raise ValueError(arm)
     from fsnerf_tpu.config import ModelConfig
@@ -89,16 +95,24 @@ def run_one(arm: str, seed: int, iters: int, scene, eval_cache) -> dict:
     jax.block_until_ready(state.params)
     train_s = time.perf_counter() - t0
 
-    # common eval protocol: undilated grid, stride 1, fixed K 192, XLA path
-    grid = state.grid.replace(occs_q=None, query_dilation=0)
     model_fn = make_render_model_fn(model, state.params, cfg)
-    img, _ = render_frame(
-        model_fn, jnp.asarray(scene.poses[-1]), scene.hwf, scene.near,
-        scene.far, strategy="occgrid", grid=grid,
-        n_samples=cfg.sampling.n_samples,
-        render_step_size=cfg.sampling.render_step_size,
-        white_bkgd=True, n_compact=192, query_stride=1,
-        early_stop_eps=cfg.sampling.early_stop_eps)
+    if cfg.sampling.strategy == "hierarchical":
+        # hierarchical arms: the strategy's own coarse/fine eval path
+        img, _ = render_frame(
+            model_fn, jnp.asarray(scene.poses[-1]), scene.hwf, scene.near,
+            scene.far, strategy="hierarchical",
+            n_samples=cfg.sampling.n_samples, n_fine=cfg.sampling.n_fine,
+            white_bkgd=True)
+    else:
+        # common eval protocol: undilated grid, stride 1, fixed K 192, XLA
+        grid = state.grid.replace(occs_q=None, query_dilation=0)
+        img, _ = render_frame(
+            model_fn, jnp.asarray(scene.poses[-1]), scene.hwf, scene.near,
+            scene.far, strategy="occgrid", grid=grid,
+            n_samples=cfg.sampling.n_samples,
+            render_step_size=cfg.sampling.render_step_size,
+            white_bkgd=True, n_compact=192, query_stride=1,
+            early_stop_eps=cfg.sampling.early_stop_eps)
     m = evaluate_frames(img[None], eval_cache["gt"])
     rec = {
         "arm": arm, "seed": seed, "iters": iters,

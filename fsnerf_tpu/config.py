@@ -66,6 +66,15 @@ class ModelConfig:
     # flag); measured on v5e in benchmarks/ab_block_rows.py /
     # ab_save_acts.py.
     fused_block_rows: Optional[int] = None
+    # Saved-acts stream stride: save every stride-th trunk activation
+    # (plus the last) and regenerate the gaps in the backward, one GEMM per
+    # gap layer (ops/pallas/mlp_train.py::_reconstruct_h). Gradients bitwise
+    # identical across strides. MEASURED DEAD END on v5e (ab_acts_stride.py):
+    # the gap reconstruction's f32 intermediates make block 1024 VMEM-
+    # infeasible, and at the forced smaller blocks every stride>1 arm loses
+    # 8-12% e2e (both strategies) — the acts stream it saves was already
+    # overlapped. None = 1 (save all); knob kept for other TPU generations.
+    fused_acts_stride: Optional[int] = None
     # Fused-train-kernel sub-chain interleave: split each row block into
     # this many independent chains, emitted layer-wise interleaved, so
     # Mosaic can overlap one chain's VPU tail with another's MXU GEMM

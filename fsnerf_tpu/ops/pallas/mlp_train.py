@@ -292,9 +292,12 @@ def _bwd_kernel(n_layers, skip, names, interleave, *refs):
                _split_rows(_expand_dout(dout_ref[:]), interleave), sv)
 
 
-def _fwd_kernel_save(n_layers, skip, names, interleave, *refs):
-    """Forward kernel that ALSO streams the trunk activation chain to HBM
-    (acts_ref [BN, n_layers*D] bf16) for the saved-activations backward."""
+def _fwd_kernel_save(n_layers, skip, names, interleave, saved_layers, *refs):
+    """Forward kernel that ALSO streams trunk activations to HBM
+    (acts_ref [BN, len(saved_layers)*D] bf16) for the saved-activations
+    backward. saved_layers selects WHICH layers stream (acts_stride>1
+    halves/quarters the HBM traffic; the backward regenerates the gaps,
+    see _reconstruct_h)."""
     encx_ref, encd_ref = refs[0], refs[1]
     ws = {n: refs[2 + i][:] for i, n in enumerate(names)}
     out_ref, acts_ref = refs[2 + len(names)], refs[3 + len(names)]
@@ -304,21 +307,56 @@ def _fwd_kernel_save(n_layers, skip, names, interleave, *refs):
                                     save=True)
     D = ws["w_conn"].shape[0]
     sub = out_ref.shape[0] // interleave
-    for i, h_i in enumerate(sv["h"]):
+    for s, i in enumerate(saved_layers):
         for j in range(interleave):
-            acts_ref[j * sub:(j + 1) * sub, i * D:(i + 1) * D] = h_i[j]
+            acts_ref[j * sub:(j + 1) * sub, s * D:(s + 1) * D] = sv["h"][i][j]
     for j in range(interleave):
         out_ref[j * sub:(j + 1) * sub, 0:3] = rgbs[j][:, 0:3]
         out_ref[j * sub:(j + 1) * sub, 3:4] = sigmas[j][:, 0:1]
 
 
-def _bwd_kernel_saved(n_layers, skip, names, interleave, *refs):
+def _reconstruct_h(encxs, acts_s, ws, n_layers, skip, saved_layers, D):
+    """Rebuild the full trunk chain (list over layers of lists over row
+    sub-blocks) from the HBM-saved subset.
+
+    Unsaved layer i is regenerated exactly as the forward computed it (same
+    ops, same dtypes -> bitwise-identical h, so gradients stay identical to
+    the stride-1 save): one GEMM from the previous layer's (saved or
+    already-regenerated) activation, trading acts HBM stream for trunk GEMMs
+    (measured a dead end on v5e — see make_fused_train_mlp)."""
+    f32 = jnp.float32
+    slot = {i: s for s, i in enumerate(saved_layers)}
+    J = len(encxs)
+    h = []
+    for i in range(n_layers):
+        if i in slot:
+            s = slot[i]
+            h.append([a[:, s * D:(s + 1) * D] for a in acts_s])
+            continue
+        prevs = encxs if i == 0 else h[i - 1]
+        if i > 0 and (i - 1) in skip:
+            ys = [jnp.dot(prevs[j], ws[f"t{i}a"], preferred_element_type=f32)
+                  + jnp.dot(encxs[j], ws[f"t{i}b"], preferred_element_type=f32)
+                  for j in range(J)]
+        elif i == 0:
+            ys = [jnp.dot(e, ws["t0"], preferred_element_type=f32)
+                  for e in encxs]
+        else:
+            ys = [jnp.dot(p, ws[f"t{i}"], preferred_element_type=f32)
+                  for p in prevs]
+        ys = [y + ws[f"b{i}"].astype(f32) for y in ys]
+        h.append([jnp.maximum(y, 0.0).astype(jnp.bfloat16) for y in ys])
+    return h
+
+
+def _bwd_kernel_saved(n_layers, skip, names, interleave, saved_layers, *refs):
     """Saved-activations backward: refs = (encx, encd, dout16, acts,
     *weights, *dweight_outs). Reads the trunk chain saved by
-    _fwd_kernel_save and recomputes only the head stack (~0.2 vs ~1.0
-    MFLOP/sample) — cuts executed backward FLOPs by the full trunk forward
-    at the price of streaming [BN, n_layers*D] bf16 through HBM (DMA
-    overlaps the grad GEMMs)."""
+    _fwd_kernel_save (regenerating acts_stride gaps, _reconstruct_h) and
+    recomputes only the head stack (~0.2 vs ~1.0 MFLOP/sample) — cuts
+    executed backward FLOPs by the full trunk forward at the price of
+    streaming [BN, len(saved)*D] bf16 through HBM (DMA overlaps the grad
+    GEMMs)."""
     encx_ref, encd_ref, dout_ref, acts_ref = refs[0], refs[1], refs[2], refs[3]
     ws = {n: refs[4 + i][:] for i, n in enumerate(names)}
     douts = {n: refs[4 + len(names) + i] for i, n in enumerate(names)}
@@ -328,21 +366,21 @@ def _bwd_kernel_saved(n_layers, skip, names, interleave, *refs):
         for n in names:
             douts[n][:] = jnp.zeros_like(douts[n])
 
+    encxs = _split_rows(encx_ref[:], interleave)
     encds = _split_rows(encd_ref[:], interleave)
-    acts = acts_ref[:]
+    acts_s = _split_rows(acts_ref[:], interleave)
     D = ws["w_conn"].shape[0]
-    acts_s = _split_rows(acts, interleave)
-    h = [[a[:, i * D:(i + 1) * D] for a in acts_s] for i in range(n_layers)]
+    h = _reconstruct_h(encxs, acts_s, ws, n_layers, skip, saved_layers, D)
     feats, brs, rgbs = _heads_compute(h[-1], encds, ws)
     sv = {"h": h, "feat": feats, "br": brs, "rgb": rgbs}
-    _bwd_grads(n_layers, skip, names, ws, douts,
-               _split_rows(encx_ref[:], interleave), encds,
+    _bwd_grads(n_layers, skip, names, ws, douts, encxs, encds,
                _split_rows(_expand_dout(dout_ref[:]), interleave), sv)
 
 
 def make_fused_train_mlp(n_layers: int, skip: Tuple[int, ...],
                          block_rows: int = 1024, interpret: bool = False,
-                         save_acts: bool = False, interleave: int = 1):
+                         save_acts: bool = False, interleave: int = 1,
+                         acts_stride: int = 1):
     """Build a custom-VJP fused MLP: (flat_weights, encx, encd) -> [N, 4].
 
     flat_weights order = _weight_names(n_layers, skip); shapes as produced by
@@ -364,11 +402,26 @@ def make_fused_train_mlp(n_layers: int, skip: Tuple[int, ...],
     with another's MXU GEMM. 1 = single chain (the original emission).
     Gradients for interleave>1 differ from 1 only in f32 accumulation
     order (partial-sum adds vs one longer MXU contraction).
+
+    acts_stride (save_acts mode only): stream every acts_stride-th trunk
+    activation (layers i with i % stride == stride-1, plus the last) and
+    regenerate the gaps in the backward, one GEMM per gap layer
+    (_reconstruct_h). Gradients bitwise identical to stride 1 (regenerated h
+    IS what the forward computed). MEASURED DEAD END on v5e
+    (benchmarks/ab_acts_stride.py): the reconstruction's f32 y-intermediates
+    push the scoped-VMEM stack to 18.2M > 16M at block 1024, and at the
+    forced smaller blocks (768/512) every stride>1 arm loses 8-12% e2e on
+    BOTH strategies (occgrid 374.6k -> 345.8k; hierarchical 145.7k ->
+    132.0k) — the acts stream it halves was already DMA-overlapped. Default
+    1; knob kept for TPU generations with a different VMEM/HBM balance.
     """
     names = _weight_names(n_layers, skip)
     if block_rows % interleave:
         raise ValueError(f"interleave {interleave} must divide block_rows "
                          f"{block_rows}")
+    saved_layers = tuple(i for i in range(n_layers)
+                         if i % acts_stride == acts_stride - 1
+                         or i == n_layers - 1)
 
     def row_spec(cols):
         return pl.BlockSpec((block_rows, cols), lambda i: (i, 0),
@@ -379,10 +432,12 @@ def make_fused_train_mlp(n_layers: int, skip: Tuple[int, ...],
         if save:
             D = flat[names.index("w_conn")].shape[0]
             kern = functools.partial(_fwd_kernel_save, n_layers,
-                                     tuple(skip), names, interleave)
-            out_specs = (row_spec(4), row_spec(n_layers * D))
+                                     tuple(skip), names, interleave,
+                                     saved_layers)
+            n_saved = len(saved_layers)
+            out_specs = (row_spec(4), row_spec(n_saved * D))
             out_shape = (jax.ShapeDtypeStruct((n, 4), jnp.float32),
-                         jax.ShapeDtypeStruct((n, n_layers * D),
+                         jax.ShapeDtypeStruct((n, n_saved * D),
                                               jnp.bfloat16))
         else:
             kern = functools.partial(_fwd_kernel, n_layers, tuple(skip),
@@ -415,7 +470,8 @@ def make_fused_train_mlp(n_layers: int, skip: Tuple[int, ...],
                                  memory_space=pltpu.VMEM) for w in flat]
         if save_acts:
             kern = functools.partial(_bwd_kernel_saved, n_layers,
-                                     tuple(skip), names, interleave)
+                                     tuple(skip), names, interleave,
+                                     saved_layers)
             operands = (encx, encd, dout16, acts)
             acts_specs = [row_spec(acts.shape[1])]
         else:
@@ -471,6 +527,7 @@ def make_fused_train_model_fn(
     interpret: bool = False,
     save_acts: Optional[bool] = None,
     interleave: Optional[int] = None,
+    acts_stride: Optional[int] = None,
 ):
     """Drop-in trainable model_fn factory for the train step.
 
@@ -500,10 +557,13 @@ def make_fused_train_model_fn(
         block_rows = 1024
     if interleave is None:
         interleave = getattr(model_cfg, "fused_interleave", None) or 1
+    if acts_stride is None:
+        acts_stride = getattr(model_cfg, "fused_acts_stride", None) or 1
     fused, _ = make_fused_train_mlp(n_layers, skip, block_rows=block_rows,
                                     interpret=interpret,
                                     save_acts=save_acts,
-                                    interleave=interleave)
+                                    interleave=interleave,
+                                    acts_stride=acts_stride)
 
     def apply_fn(params, x, dirs, pos_mask=None, dir_mask=None):
         prepped = prep_params(params, n_layers=n_layers, skip=skip)

@@ -170,6 +170,49 @@ def test_fused_train_saved_acts_bitwise_matches_recompute(small_setup):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+@pytest.mark.parametrize("n_layers,skip,stride", [
+    (4, (2,), 2),   # gaps 0,2; skip consumer (layer 3) saved
+    (4, (2,), 4),   # chain gap 0,1,2 regenerated from encx alone
+    (5, (2,), 3),   # skip CONSUMER (layer 3) itself regenerated
+])
+def test_fused_train_acts_stride_bitwise(n_layers, skip, stride):
+    """acts_stride>1 grads are BITWISE identical to the full stride-1 save:
+    _reconstruct_h regenerates exactly what the forward computed (same ops,
+    same dtypes), including skip-layer consumers inside a gap."""
+    from fsnerf_tpu.ops.pallas.mlp import prep_params as prep
+    from fsnerf_tpu.ops.pallas.mlp_train import (
+        _flat_from_prepped, make_fused_train_mlp)
+
+    model = NeRF(n_layers=n_layers, d_filter=64, skip=skip, n_freqs=4,
+                 n_freqs_views=2, compute_dtype=jnp.bfloat16)
+    params = init_params(model, jax.random.key(3))
+    x, d = _inputs(256, seed=13)
+    pr = prep(params, n_layers=n_layers, skip=skip)
+    flat = tuple(_flat_from_prepped(pr))
+    encx = positional_encoding(x, 4, True)
+    encd = positional_encoding(d, 2, True)
+    ex = jnp.zeros((256, pr["d_enc_pad"]), jnp.bfloat16
+                   ).at[:, :encx.shape[1]].set(encx.astype(jnp.bfloat16))
+    ed = jnp.zeros((256, pr["d_dir_pad"]), jnp.bfloat16
+                   ).at[:, :encd.shape[1]].set(encd.astype(jnp.bfloat16))
+
+    outs, grads = [], []
+    for st in (1, stride):
+        fused, _ = make_fused_train_mlp(n_layers, skip, block_rows=128,
+                                        interpret=True, save_acts=True,
+                                        acts_stride=st)
+
+        def loss(flat):
+            return jnp.sum(fused(flat, ex, ed) ** 2)
+
+        outs.append(np.asarray(fused(flat, ex, ed)))
+        grads.append(jax.grad(loss)(flat))
+
+    np.testing.assert_array_equal(outs[0], outs[1])
+    for a, b in zip(grads[0], grads[1]):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 @pytest.mark.parametrize("save_acts", [False, True])
 def test_fused_train_interleave_matches_single_chain(small_setup, save_acts):
     """interleave>1 (sub-chain ILP emission) reproduces interleave=1: the
