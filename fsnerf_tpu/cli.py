@@ -289,8 +289,38 @@ def main(argv=None):
     ckpt = None if cfg.log.debug else Checkpointer(
         os.path.join(out_dir, "ckpt"))
 
+    will_resume = (cfg.train.resume and ckpt
+                   and ckpt.latest_step() is not None)
+    if cfg.train.import_torch_ckpt and not will_resume:
+        # Migrate a reference torch checkpoint (run-nerf.py:420-437 nn.pt
+        # state dict): params from the .pt; the occupancy grid it does not
+        # carry is rebuilt with one full-volume refresh from the imported
+        # densities (og.update at step 0 = full update, deterministic cell
+        # centers).
+        from fsnerf_tpu.utils.torch_interop import load_torch_checkpoint
+        imported = load_torch_checkpoint(cfg.train.import_torch_ckpt,
+                                         expect=state.params)
+        state = state.replace(params=jax.tree.map(jnp.asarray, imported))
+        if cfg.sampling.strategy == "occgrid":
+            from fsnerf_tpu.ops import occgrid as og
+
+            def density_fn(x):
+                return model.apply(state.params, x)[..., 0]
+
+            grid = jax.jit(lambda g: og.update(
+                g, density_fn, None, jnp.int32(0),
+                render_step_size=cfg.sampling.render_step_size,
+                occ_thre=cfg.sampling.occ_thre,
+                ema_decay=cfg.sampling.ema_decay))(state.grid)
+            state = state.replace(grid=grid)
+        logger.info("imported torch checkpoint %s",
+                    cfg.train.import_torch_ckpt)
+    elif cfg.train.import_torch_ckpt:
+        logger.warning("--import_torch_ckpt ignored: --resume found an "
+                       "orbax checkpoint, which takes precedence")
+
     if not cfg.log.render_only:
-        if cfg.train.resume and ckpt and ckpt.latest_step() is not None:
+        if will_resume:
             state = ckpt.restore(state)
             logger.info("resumed from step %d", int(state.step))
 
@@ -363,10 +393,15 @@ def main(argv=None):
                 json.dump(metrics, fh)
         mlogger.log_summary(metrics)    # reference run-nerf.py:404-413
     else:
-        assert ckpt is not None and ckpt.latest_step() is not None, \
-            "--render_only requires an existing checkpoint in out_dir"
-        state = ckpt.restore(state)
-        logger.info("loaded checkpoint at step %d", int(state.step))
+        if cfg.train.import_torch_ckpt and not (
+                ckpt and ckpt.latest_step() is not None):
+            logger.info("render-only from the imported torch checkpoint")
+        else:
+            assert ckpt is not None and ckpt.latest_step() is not None, \
+                ("--render_only requires an existing checkpoint in out_dir "
+                 "or --import_torch_ckpt")
+            state = ckpt.restore(state)
+            logger.info("loaded checkpoint at step %d", int(state.step))
 
     # render the scene's camera path
     model_fn = make_render_model_fn(model, state.params, cfg)

@@ -219,6 +219,13 @@ class TrainConfig:
     # checkpointing (new capability; reference only saves final state dict)
     ckpt_every: int = 0             # 0 = only final
     resume: bool = False
+    # Migrate a reference torch checkpoint (torch.save(model.state_dict()),
+    # run-nerf.py:420-437): initialize params from the nn.pt at this path
+    # (utils/torch_interop.py). With --render_only the imported weights are
+    # rendered directly; the occupancy grid the .pt does not carry is
+    # rebuilt from the imported densities. --resume (an orbax full-state
+    # checkpoint) takes precedence when both are given.
+    import_torch_ckpt: Optional[str] = None
     # Adaptive-ladder K swaps compile the new executable on a background
     # thread while training continues at the old K (train/loop.py) — at
     # full scale a ladder level costs ~50 s of XLA compile vs ~0.3 s per
@@ -426,6 +433,8 @@ def config_parser() -> argparse.ArgumentParser:
     g.add_argument("--use_wandb", action="store_true")
     g.add_argument("--ckpt_every", default=0, type=int)
     g.add_argument("--resume", action="store_true")
+    g.add_argument("--import_torch_ckpt", default=None, type=str,
+                   help="reference nn.pt state dict to initialize/render from")
 
     g = p.add_argument_group("debugging")
     g.add_argument("--debug", action="store_true")
@@ -494,6 +503,7 @@ _FLAG_MAP = {
     "val_rate": ("train", "val_rate"),
     "ckpt_every": ("train", "ckpt_every"),
     "resume": ("train", "resume"),
+    "import_torch_ckpt": ("train", "import_torch_ckpt"),
     "async_ladder": ("train", "async_ladder"),
     "n_devices": ("parallel", "n_devices"),
     "distributed": ("parallel", "distributed"),

@@ -86,6 +86,44 @@ def test_cli_main_blender_end_to_end(blender_root, tmp_path, monkeypatch):
     assert rc == 0
 
 
+def test_cli_render_only_from_torch_import(blender_root, tmp_path,
+                                           monkeypatch):
+    """Reference-checkpoint migration: --render_only --import_torch_ckpt
+    renders a reference nn.pt with no orbax checkpoint present, rebuilding
+    the occupancy grid from the imported densities (cli.py import block)."""
+    _patch_short_path(monkeypatch)
+    import jax
+    import torch
+
+    from fsnerf_tpu.cli import main
+    from fsnerf_tpu.core.models import NeRF, init_params
+    from fsnerf_tpu.utils.torch_interop import export_torch_state_dict
+
+    model = NeRF(n_layers=2, d_filter=16, skip=(1,),
+                 n_freqs=3, n_freqs_views=2)
+    params = init_params(model, jax.random.key(0))
+    pt = str(tmp_path / "nn.pt")
+    torch.save({k: torch.from_numpy(np.array(v))
+                for k, v in export_torch_state_dict(params).items()}, pt)
+
+    out_dir = str(tmp_path / "out_import")
+    rc = main([
+        "--dataset", "synthetic", "--scene", "clilego",
+        "--data_root", blender_root, "--n_imgs", "4",
+        "--n_iters", "6", "--batch_size", "64",
+        "--n_samples", "24", "--n_compact", "16",
+        "--grid_resolution", "8", "--n_freqs", "3", "--n_freqs_views", "2",
+        "--n_layers", "2", "--d_filter", "16", "--skip", "1",
+        "--out_dir", out_dir, "--white_bkgd", "--render_only",
+        "--import_torch_ckpt", pt,
+    ])
+    assert rc == 0
+    run_dir = os.path.join(out_dir, "nerf", "synthetic", "clilego",
+                           "n_imgs_4")
+    video = os.listdir(os.path.join(run_dir, "video"))
+    assert any(v.startswith("rgb") for v in video)
+
+
 class _StubWandb:
     """Minimal wandb stand-in recording every call (no real wandb in env)."""
 
