@@ -9,7 +9,11 @@ RAW view directions (models.py:304) — realized as a split GEMM
 
 Precision: every GEMM accumulates f32 on the MXU from bf16 operands and the
 sine argument stays f32 (SIREN phase precision; core/models.py:185-193 does
-the same) — activations are consumed bf16 by the next GEMM.
+the same) — activations are consumed bf16 by the next GEMM. All in-kernel
+sin/cos run through _sincos_fast (range-reduced minimax polynomials): the
+Mosaic jnp.sin lowering measured 6.5-9 ms of the 131k-row forward vs ~1 ms
+for the polynomial (benchmarks/sol_siren.py), and its <= 9e-5 abs error
+vanishes under the consumers' bf16 rounding.
 
 Two backward modes (mirrors ops/pallas/mlp_train.py):
 
@@ -48,6 +52,45 @@ from jax.experimental.pallas import tpu as pltpu
 from fsnerf_tpu.ops.pallas.mlp import _round_up
 from fsnerf_tpu.ops.pallas.mlp_train import (_dotT_a, _dot_bT,
                                              _expand_dout)
+
+
+def _sincos_fast(x, want_sin: bool = True, want_cos: bool = False):
+    """sin/cos by explicit range reduction + minimax polynomials — the
+    in-kernel replacement for jnp.sin/jnp.cos.
+
+    WHY: Mosaic lowers jnp.sin to a conservative multi-op VPU sequence that
+    dominates the SIREN kernel — measured 6.5-9 ms of an 8.3-11 ms forward
+    at the sinerf bench shape (131k rows), vs ~0.7-1.2 ms for this
+    polynomial (benchmarks/sol_siren.py; the whole fused forward drops
+    8.66 -> 3.33 ms in save mode). When BOTH sin and cos are needed (the
+    saved-acts forward streams h_i = sin(a y) and a cos(a y)), the range
+    reduction is shared.
+
+    HOW: k = round(x/pi); r = x - k*pi by two-step Cody-Waite (exact for
+    |x| <= ~1e4 — SIREN arguments are |30 y| <= a few hundred);
+    sin(x) = (-1)^k sin(r), cos(x) = (-1)^k cos(r) with |r| <= pi/2; odd
+    deg-7 / even deg-8 minimax polynomials. Max abs error vs f64 over
+    |x| <= 40: ~9e-5 (sin) / ~1.3e-5 (cos) — both far below the bf16
+    rounding (~4e-3 at 1.0) of every consumer: activations/derivative
+    factors are consumed as bf16 by the next GEMM in all paths.
+    """
+    f32 = jnp.float32
+    k = jnp.round(x * f32(0.3183098861837907))      # 1/pi
+    r = x - k * f32(3.140625)                        # pi split: 8-bit head
+    r = r - k * f32(9.67653589793e-4)                # + correction
+    km = k - 2.0 * jnp.floor(k * 0.5)                # parity of k: 0 or 1
+    sign = 1.0 - 2.0 * km                            # (-1)^k
+    r2 = r * r
+    sin_x = cos_x = None
+    if want_sin:
+        s = r * (f32(1.0) + r2 * (f32(-1.66666546e-1)
+                 + r2 * (f32(8.3321608e-3) + r2 * f32(-1.9515296e-4))))
+        sin_x = sign * s
+    if want_cos:
+        c = (f32(1.0) + r2 * (f32(-0.5) + r2 * (f32(4.166664568e-2)
+             + r2 * (f32(-1.388731625e-3) + r2 * f32(2.443315711e-5)))))
+        cos_x = sign * c
+    return sin_x, cos_x
 
 
 def siren_weight_names(n_layers: int):
@@ -113,7 +156,7 @@ def _heads_siren(h_last, d, ws, save=False):
     bf16 = jnp.bfloat16
     sv = {}
     ys = jnp.dot(h_last, ws["ws0"], preferred_element_type=f32) + ws["bs0"]
-    s_s = jnp.sin(ys).astype(bf16)
+    s_s = _sincos_fast(ys)[0].astype(bf16)
     sigma_pre = (jnp.dot(s_s, ws["ws1"], preferred_element_type=f32)
                  + ws["bs1"])
     sigma = jnp.maximum(sigma_pre, 0.0)
@@ -122,7 +165,7 @@ def _heads_siren(h_last, d, ws, save=False):
             + ws["bf"]).astype(bf16)
     yr = (jnp.dot(feat, ws["wr0f"], preferred_element_type=f32)
           + jnp.dot(d, ws["wr0d"], preferred_element_type=f32) + ws["br0"])
-    s_r = jnp.sin(yr).astype(bf16)
+    s_r = _sincos_fast(yr)[0].astype(bf16)
     rgb = jax.nn.sigmoid(
         jnp.dot(s_r, ws["wr1"], preferred_element_type=f32) + ws["br1"])
     if save:
@@ -147,10 +190,12 @@ def _fwd_siren(x, d, ws, n_layers, alphas, save=False, save_hc=False):
              + ws[f"b{i}"])
         if save:
             sv["y"].append(y)
-        h = jnp.sin(alphas[i] * y).astype(bf16)
-        if save_hc:
+        s, c = _sincos_fast(alphas[i] * y, want_cos=save_hc)
+        h = s.astype(bf16)
+        if save or save_hc:
             sv["h"].append(h)
-            sv["c"].append((alphas[i] * jnp.cos(alphas[i] * y)).astype(bf16))
+        if save_hc:
+            sv["c"].append((alphas[i] * c).astype(bf16))
     if save or save_hc:
         sv["h_last"] = h
 
@@ -186,7 +231,8 @@ def _bwd_grads_siren(n_layers, names, ws, douts, x, d, dout, hs, cs, sv):
     drgb_pre = jnp.where(lane < 3, dout * rgb * (1.0 - rgb), 0.0)
     douts["wr1"][:] += _dotT_a(sv["s_r"], drgb_pre.astype(bf16))
     douts["br1"][:] += jnp.sum(drgb_pre, axis=0, keepdims=True)
-    dyr = _dot_bT(drgb_pre.astype(bf16), ws["wr1"]) * jnp.cos(sv["yr"])
+    dyr = (_dot_bT(drgb_pre.astype(bf16), ws["wr1"])
+           * _sincos_fast(sv["yr"], want_sin=False, want_cos=True)[1])
     douts["wr0f"][:] += _dotT_a(sv["feat"], dyr.astype(bf16))
     douts["wr0d"][:] += _dotT_a(d, dyr.astype(bf16))
     douts["br0"][:] += jnp.sum(dyr, axis=0, keepdims=True)
@@ -202,7 +248,8 @@ def _bwd_grads_siren(n_layers, names, ws, douts, x, d, dout, hs, cs, sv):
     dsig = jnp.where(sv["sigma_pre"] > 0.0, dsig, 0.0)
     douts["ws1"][:] += _dotT_a(sv["s_s"], dsig.astype(bf16))
     douts["bs1"][:] += jnp.sum(dsig, axis=0, keepdims=True)
-    dys = _dot_bT(dsig.astype(bf16), ws["ws1"]) * jnp.cos(sv["ys"])
+    dys = (_dot_bT(dsig.astype(bf16), ws["ws1"])
+           * _sincos_fast(sv["ys"], want_sin=False, want_cos=True)[1])
     douts["ws0"][:] += _dotT_a(h_last, dys.astype(bf16))
     douts["bs0"][:] += jnp.sum(dys, axis=0, keepdims=True)
     dh = dh + _dot_bT(dys.astype(bf16), ws["ws0"])
@@ -229,13 +276,12 @@ def _bwd_kernel(n_layers, alphas, names, *refs):
         for n in names:
             douts[n][:] = jnp.zeros_like(douts[n])
 
-    bf16 = jnp.bfloat16
     x = x_ref[:]
     d = d_ref[:]
     _, _, sv = _fwd_siren(x, d, ws, n_layers, alphas, save=True)
-    hs = [jnp.sin(alphas[i] * sv["y"][i]).astype(bf16)
-          for i in range(n_layers - 1)] + [sv["h_last"]]
-    cs = [alphas[i] * jnp.cos(alphas[i] * sv["y"][i])
+    hs = sv["h"]                                   # bf16 chain, kept by save
+    cs = [alphas[i] * _sincos_fast(alphas[i] * sv["y"][i], want_sin=False,
+                                   want_cos=True)[1]
           for i in range(n_layers)]
     _bwd_grads_siren(n_layers, names, ws, douts, x, d,
                      _expand_dout(dout_ref[:]), hs, cs, sv)
