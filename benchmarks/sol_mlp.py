@@ -121,7 +121,34 @@ def _heads_fwd(h, encd, ws, mode):
     rgb = jnp.dot(br, ws["w_rgb"], preferred_element_type=out_dt)
     if mode != "nobias":
         rgb = rgb + ws["b_rgb"].astype(out_dt)
-    return jax.nn.sigmoid(rgb.astype(f32)), sigma.astype(f32)
+    rgb = rgb.astype(f32)
+    if mode == "nosig":
+        return rgb, sigma.astype(f32)
+    if mode == "fastsig":
+        return _sigmoid_fast(rgb), sigma.astype(f32)
+    return jax.nn.sigmoid(rgb), sigma.astype(f32)
+
+
+def _exp2_fast(y):
+    """2^y for f32 y via exponent assembly + deg-5 minimax on the fraction.
+
+    i = floor(y), f = y - i in [0,1); 2^i assembled by integer bit ops,
+    2^f by polynomial. Valid for y in (-120, 120)."""
+    f32 = jnp.float32
+    i = jnp.floor(y)
+    f = y - i
+    p = (f32(0.9999999702) + f * (f32(0.6931530732)
+         + f * (f32(0.2401536059) + f * (f32(0.0558263172)
+         + f * (f32(0.0089893402) + f * f32(0.0018775767))))))
+    scale = jax.lax.bitcast_convert_type(
+        ((i.astype(jnp.int32) + 127) << 23), jnp.float32)
+    return p * scale
+
+
+def _sigmoid_fast(x):
+    """sigmoid(x) = 1 / (1 + 2^(-x * log2 e)) via _exp2_fast."""
+    e = _exp2_fast(jnp.clip(x, -88.0, 88.0) * jnp.float32(-1.4426950408889634))
+    return 1.0 / (1.0 + e)
 
 
 def make_fwd_variant(n_layers, skip, names, mode):
@@ -374,7 +401,7 @@ def main():
     # bf16-output matmuls are rejected by Mosaic ('tpu.matmul' expects an
     # f32 accumulator result) — bf16out/gemm fwd modes are unrunnable; the
     # nobias/norelu probes already isolate the VPU cost.
-    for mode in ("real", "nobias", "norelu", "castfirst", "folded"):
+    for mode in ("real", "nosig", "fastsig"):
         use_names = folded_names if mode == "folded" else names
         use_flat = folded_flat if mode == "folded" else flat
         fn = make_fwd_variant(n_layers, skip, use_names, mode)
@@ -383,7 +410,7 @@ def main():
                    f(fl, ex_ + (s * 1e-8).astype(jnp.bfloat16), ed_),),
                ex, ed, *use_flat)
 
-    for mode in ("real", "bf16dh", "gemm"):
+    for mode in ("real",):
         fn = make_bwd_variant(n_layers, skip, names, mode)
         timeit(f"bwd {mode}",
                lambda s, ex_, ed_, acts_, do_, *fl, f=fn: f(

@@ -428,6 +428,33 @@ def main(argv=None):
     # reference logs both path renders as wandb mp4s (run-nerf.py:459-468)
     mlogger.log_video("rgb_video", rgb8)
     mlogger.log_video("depth_video", dep8)
+
+    if cfg.log.export_render:
+        # AOT serving artifact: the trained renderer (params + grid baked
+        # in) as a StableHLO program a serving process replays without any
+        # model/config code (utils/export.py)
+        from fsnerf_tpu.render.renderer import make_chunk_renderer
+        from fsnerf_tpu.utils.export import export_render_artifact
+
+        export_chunk = min(16384, 2 * cfg.train.batch_size)
+        exp_renderer = make_chunk_renderer(
+            model_fn, strategy=cfg.sampling.strategy, grid=state.grid,
+            n_samples=cfg.sampling.n_samples, n_fine=cfg.sampling.n_fine,
+            render_step_size=cfg.sampling.render_step_size,
+            white_bkgd=train_split.white_bkgd, near=train_split.near,
+            far=train_split.far,
+            n_compact=derive_eval_n_compact(state.grid, train_split, cfg),
+            query_stride=resolve_query_stride(cfg.sampling,
+                                              train_split.aabb))
+        export_render_artifact(
+            exp_renderer, export_chunk, cfg.log.export_render,
+            hwf=train_split.hwf, near=train_split.near, far=train_split.far,
+            ndc=train_split.ndc,
+            extra_meta={"model": cfg.model.model,
+                        "strategy": cfg.sampling.strategy,
+                        "step": int(state.step)})
+        logger.info("exported serving artifact to %s", cfg.log.export_render)
+
     mlogger.close()
     if ckpt:
         ckpt.close()

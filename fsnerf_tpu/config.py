@@ -254,6 +254,9 @@ class LogConfig:
     debug: bool = False
     render_only: bool = False
     use_wandb: bool = False         # wandb optional; JSON-lines always written
+    # serialize the final compiled renderer (params/grid baked in) as an AOT
+    # StableHLO serving artifact to this directory (utils/export.py)
+    export_render: str = ""
 
 
 @dataclass(frozen=True)
@@ -435,6 +438,9 @@ def config_parser() -> argparse.ArgumentParser:
     g.add_argument("--resume", action="store_true")
     g.add_argument("--import_torch_ckpt", default=None, type=str,
                    help="reference nn.pt state dict to initialize/render from")
+    g.add_argument("--export_render", default="", type=str,
+                   help="write an AOT StableHLO serving artifact of the "
+                        "final renderer to this directory")
 
     g = p.add_argument_group("debugging")
     g.add_argument("--debug", action="store_true")
@@ -511,6 +517,7 @@ _FLAG_MAP = {
     "debug": ("log", "debug"),
     "render_only": ("log", "render_only"),
     "use_wandb": ("log", "use_wandb"),
+    "export_render": ("log", "export_render"),
 }
 
 
