@@ -623,3 +623,26 @@ def test_fused_siren_in_train_step():
         assert np.mean(losses[-4:]) < np.mean(losses[:4])
     finally:
         SIR.make_fused_siren_model_fn = orig
+
+
+def test_sincos_fast_accuracy():
+    """_sincos_fast (the in-kernel sin/cos used by every SIREN kernel) must
+    stay within ~1e-4 of the libm values over the SIREN argument range
+    (|30 y| up to a few hundred) — far below the bf16 rounding (~4e-3) of
+    every consumer. Pins the polynomial/reduction against regressions."""
+    from fsnerf_tpu.ops.pallas.siren import _sincos_fast
+
+    rng = np.random.default_rng(0)
+    for lo, hi in ((-3.2, 3.2), (-40.0, 40.0), (-400.0, 400.0)):
+        x = jnp.asarray(rng.uniform(lo, hi, size=(1 << 15,)), jnp.float32)
+        s, c = _sincos_fast(x, want_sin=True, want_cos=True)
+        assert float(jnp.max(jnp.abs(s - jnp.sin(x)))) < 2e-4, (lo, hi)
+        assert float(jnp.max(jnp.abs(c - jnp.cos(x)))) < 2e-4, (lo, hi)
+    # edge arguments: exact zeros and half-pi multiples
+    x = jnp.asarray([0.0, np.pi / 2, -np.pi / 2, np.pi, -np.pi, 30.0],
+                    jnp.float32)
+    s, c = _sincos_fast(x, want_sin=True, want_cos=True)
+    np.testing.assert_allclose(np.asarray(s), np.sin(np.asarray(x)),
+                               atol=2e-4)
+    np.testing.assert_allclose(np.asarray(c), np.cos(np.asarray(x)),
+                               atol=2e-4)
