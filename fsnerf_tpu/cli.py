@@ -76,6 +76,22 @@ def make_render_model_fn(model, params, cfg, step=None):
             log_space=cfg.encoder.log_space,
             density_activation=cfg.model.density_activation,
             pos_mask=pos_mask, dir_mask=dir_mask)
+    if resolve_fused_kernel(cfg) and cfg.model.model == "sinerf":
+        # the fused SIREN apply's primal call runs the forward kernel only
+        # (no acts stream) — sinerf eval/video renders measured 114.6k ->
+        # 293.6k rays/s vs the XLA pipeline (XLA's sin lowering is the
+        # bottleneck there too; rgb equal within 2.9e-4). Density-only
+        # calls (d=None, e.g. the occgrid rebuild under
+        # --import_torch_ckpt) stay on the XLA model.
+        from fsnerf_tpu.ops.pallas.siren import make_fused_siren_model_fn
+        fused_apply = make_fused_siren_model_fn(cfg.model, cfg.encoder)
+
+        def siren_fn(x, d=None):
+            if d is None:
+                return model.apply(params, x)
+            return fused_apply(params, x, d)
+
+        return siren_fn
 
     def model_fn(x, d=None):
         return model.apply(params, x, d, pos_mask=pos_mask,

@@ -227,3 +227,41 @@ def test_derive_eval_n_compact_covers_deep_views(monkeypatch):
     k_first = derive_eval_n_compact(grid, SplitFirstOnly, cfg)
     assert k_multi >= k_first
     assert k_multi >= 16
+
+
+def test_render_model_fn_sinerf_fused_wiring(monkeypatch):
+    """make_render_model_fn routes sinerf through the fused SIREN kernel
+    when resolve_fused_kernel says so (cli.py gate), matching the XLA model;
+    density-only calls (d=None) stay on model.apply. Forced on here (the
+    gate resolves False on the CPU backend) with the kernel in interpret
+    mode."""
+    import jax
+    import jax.numpy as jnp
+
+    import fsnerf_tpu.cli as cli
+    import fsnerf_tpu.ops.pallas.siren as sp
+    import fsnerf_tpu.train.step as ts
+    from fsnerf_tpu.config import Config, ModelConfig
+    from fsnerf_tpu.core.models import init_params, make_model
+
+    cfg = Config(model=ModelConfig(model="sinerf", n_layers=3, d_filter=64))
+    model = make_model(cfg)
+    params = init_params(model, jax.random.key(0))
+
+    monkeypatch.setattr(ts, "resolve_fused_kernel", lambda c: True)
+    orig = sp.make_fused_siren_model_fn
+    monkeypatch.setattr(
+        sp, "make_fused_siren_model_fn",
+        lambda mc, ec=None, **kw: orig(mc, ec, interpret=True, **kw))
+
+    fn = cli.make_render_model_fn(model, params, cfg)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.uniform(-1, 1, size=(8, 3)), jnp.float32)
+    d = jnp.asarray(rng.normal(size=(8, 3)), jnp.float32)
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    out_fused = np.asarray(fn(x, d))
+    out_xla = np.asarray(model.apply(params, x, d))
+    np.testing.assert_allclose(out_fused, out_xla, atol=2e-2)
+    # density-only path: exact (same model.apply)
+    np.testing.assert_array_equal(np.asarray(fn(x)),
+                                  np.asarray(model.apply(params, x)))
