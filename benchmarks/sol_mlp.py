@@ -13,9 +13,21 @@ the gap actually is, in the forward and the saved-acts backward:
                   VPU bytes and removes one full [N,256] pass per layer.
   fwd nobias    — real minus the bias adds   (costs one f32 pass/layer).
   fwd norelu    — real minus the relu        (costs one f32 pass/layer).
+  fwd castfirst — cast to bf16 before the relu (bitwise identical, half
+                  the max-pass bytes).
+  fwd folded    — sigma folded into the connection GEMM; branch/skip
+                  pairs as single concat-input GEMMs (fewer MXU fronts).
+  fwd nosig     — real minus the rgb sigmoid.
+  fwd fastsig   — sigmoid via exp2 exponent assembly (_sigmoid_fast).
   fwd gemm      — GEMM chain only, no bias/relu/cast anywhere: the MXU
-                  floor for this chain in Mosaic as scheduled today.
+                  floor for this chain in Mosaic as scheduled today
+                  (UNRUNNABLE: Mosaic rejects bf16 matmul outputs).
   ideal         — analytic FLOPs / 197 TFLOPS (v5e bf16 peak).
+
+Measured on v5e (run-to-run noise +-7%; all fwd variants within it):
+real 0.67-0.80 ms vs ideal 0.428 (scheduling-bound); bwd real 1.23 ms vs
+ideal 0.935 with the GEMM skeleton timing THE SAME (at its floor). The
+sigmoid is free here (nosig == real) — unlike SIREN's sin (sol_siren.py).
 
   bwd real      — the product saved-acts backward.
   bwd bf16dh    — dh GEMMs emit bf16; relu mask applied to the bf16
@@ -401,7 +413,8 @@ def main():
     # bf16-output matmuls are rejected by Mosaic ('tpu.matmul' expects an
     # f32 accumulator result) — bf16out/gemm fwd modes are unrunnable; the
     # nobias/norelu probes already isolate the VPU cost.
-    for mode in ("real", "nosig", "fastsig"):
+    for mode in ("real", "nobias", "norelu", "castfirst", "folded",
+                 "nosig", "fastsig"):
         use_names = folded_names if mode == "folded" else names
         use_flat = folded_flat if mode == "folded" else flat
         fn = make_fwd_variant(n_layers, skip, use_names, mode)
@@ -410,7 +423,9 @@ def main():
                    f(fl, ex_ + (s * 1e-8).astype(jnp.bfloat16), ed_),),
                ex, ed, *use_flat)
 
-    for mode in ("real",):
+    # bf16dh crashes the Mosaic compiler (tpu_compile_helper exit 1) —
+    # kept in the sweep so the FAILED line documents it per toolchain
+    for mode in ("real", "bf16dh", "gemm"):
         fn = make_bwd_variant(n_layers, skip, names, mode)
         timeit(f"bwd {mode}",
                lambda s, ex_, ed_, acts_, do_, *fl, f=fn: f(

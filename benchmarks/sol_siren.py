@@ -6,13 +6,21 @@ difference: 8 sin passes per forward (16 with the saved-acts derivative
 stream a_i cos(a_i y_i)), all multi-op f32 VPU sequences. This probe
 separates GEMM floor from transcendental cost:
 
-  fwd nosave      — the product's primal forward (8 sin).
-  fwd save        — the saved-acts forward (8 sin + 8 cos + acts stream).
+  fwd real        — jnp.sin trunk emission (the PRE-fastsin product kernel;
+                    kept to reproduce the decomposition that motivated the
+                    change — NOTE the head stack goes through the imported
+                    product _heads_siren, which is polynomial since fastsin
+                    landed, so 'real' isolates the TRUNK sin cost).
+  fwd save        — same + the a_i cos(a_i y_i) derivative stream.
   fwd nosin       — sin replaced by a cast (pure GEMM chain + layout):
                     the MXU floor for this topology at this block size.
-  fwd fastsin     — sin via explicit range reduction + odd minimax poly
-                    (shared-range-reduction sincos in save mode).
+  fwd fastsin     — the landed product emission (_sincos_fast from
+                    ops/pallas/siren.py — single source of truth; shared
+                    range reduction for the sin+cos pair in save mode).
   bwd saved       — the product's saved-acts backward (no transcendentals).
+
+Recorded on v5e (pre-landing, 131k rows, block 512): real 8.3-11.1 ms /
+save 8.66 ms -> fastsin 2.71 / save 3.33 ms vs nosin floor 2.05 ms.
 
 Run:  PYTHONPATH=/root/.axon_site:/root/repo python benchmarks/sol_siren.py
 """
@@ -28,41 +36,13 @@ from jax.experimental.pallas import tpu as pltpu
 
 from fsnerf_tpu.ops.pallas.siren import (_bwd_kernel_saved, _fwd_kernel,
                                          _fwd_kernel_save, _heads_siren,
-                                         prep_siren_params, _flat_siren,
-                                         siren_weight_names)
+                                         _sincos_fast, prep_siren_params,
+                                         _flat_siren, siren_weight_names)
 
 N = 131072          # sinerf bench rows: 1024 rays x settled K 128
 BLOCK = 512
 SCAN = 30
 PEAK_TFLOPS = 197.0
-
-
-def _sincos_fast(x, want_cos):
-    """sin(x) (and optionally cos(x)) by explicit range reduction + odd
-    minimax polynomial — one shared reduction for the pair.
-
-    sin(x) = s * sin(r), cos(x) = s' * sin(pi/2 - |r|)-style identities get
-    branchy; instead use: k = round(x / pi), r = x - k*pi (|r| <= pi/2),
-    sin(x) = (-1)^k sin(r), cos(x) = (-1)^k cos(r). Polys on r in
-    [-pi/2, pi/2]: sin deg-7 odd, cos deg-6 even (f32-accurate to ~1e-7 —
-    well beyond bf16 consumption)."""
-    f32 = jnp.float32
-    inv_pi = f32(0.3183098861837907)
-    k = jnp.round(x * inv_pi)
-    # two-step Cody-Waite pi split keeps r accurate for |x| up to ~1e4
-    r = x - k * f32(3.140625)
-    r = r - k * f32(9.67653589793e-4)
-    km = k - 2.0 * jnp.floor(k * 0.5)            # parity of k: 0.0 or 1.0
-    sign = 1.0 - 2.0 * km                        # (-1)^k
-    r2 = r * r
-    s = r * (f32(1.0) + r2 * (f32(-1.66666546e-1)
-             + r2 * (f32(8.3321608e-3) + r2 * f32(-1.9515296e-4))))
-    sin_x = sign * s
-    if not want_cos:
-        return sin_x, None
-    c = (f32(1.0) + r2 * (f32(-0.5) + r2 * (f32(4.166664568e-2)
-         + r2 * (f32(-1.388731625e-3) + r2 * f32(2.443315711e-5)))))
-    return sin_x, sign * c
 
 
 def _fwd_variant_kernel(n_layers, alphas, names, mode, save, *refs):
@@ -223,7 +203,7 @@ def main():
 
     # numeric check: fastsin vs jnp.sin on representative SIREN arguments
     xs = jnp.asarray(rng.uniform(-40, 40, size=(1 << 14,)), jnp.float32)
-    s_fast, c_fast = _sincos_fast(xs, True)
+    s_fast, c_fast = _sincos_fast(xs, want_sin=True, want_cos=True)
     print("fastsin max |err| vs jnp:",
           float(jnp.max(jnp.abs(s_fast - jnp.sin(xs)))),
           float(jnp.max(jnp.abs(c_fast - jnp.cos(xs)))), flush=True)

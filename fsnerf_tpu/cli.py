@@ -423,6 +423,8 @@ def main(argv=None):
     model_fn = make_render_model_fn(model, state.params, cfg)
 
     path = splitter.path_poses
+    path_k = derive_eval_n_compact(state.grid, train_split, cfg)
+    path_q_stride = resolve_query_stride(cfg.sampling, train_split.aabb)
     frames, d_frames = render_path(
         model_fn, jnp.asarray(path), train_split.hwf,
         train_split.near, train_split.far,
@@ -432,9 +434,10 @@ def main(argv=None):
         render_step_size=cfg.sampling.render_step_size,
         ndc=train_split.ndc, white_bkgd=train_split.white_bkgd,
         chunksize=2 * cfg.train.batch_size,
-        n_compact=derive_eval_n_compact(state.grid, train_split, cfg),
+        n_compact=path_k,
+        early_stop_eps=cfg.sampling.early_stop_eps,
         mesh=mesh,
-        query_stride=resolve_query_stride(cfg.sampling, train_split.aabb),
+        query_stride=path_q_stride,
         fused_render_fn=make_fused_render_fn(state.params, cfg, mesh=mesh))
     from fsnerf_tpu.render.renderer import render_video
     rgb8, dep8 = render_video(frames, d_frames)
@@ -459,9 +462,8 @@ def main(argv=None):
             render_step_size=cfg.sampling.render_step_size,
             white_bkgd=train_split.white_bkgd, near=train_split.near,
             far=train_split.far,
-            n_compact=derive_eval_n_compact(state.grid, train_split, cfg),
-            query_stride=resolve_query_stride(cfg.sampling,
-                                              train_split.aabb))
+            early_stop_eps=cfg.sampling.early_stop_eps,
+            n_compact=path_k, query_stride=path_q_stride)
         export_render_artifact(
             exp_renderer, export_chunk, cfg.log.export_render,
             hwf=train_split.hwf, near=train_split.near, far=train_split.far,

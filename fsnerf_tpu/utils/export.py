@@ -11,10 +11,17 @@ model code, no config system, no checkpoint restore:
     fn, meta = load_render_artifact(path)     # fn: (rays_o, rays_d)
     rgb, depth = render_frame_exported(path_or_loaded, pose)
 
+Self-containment: `load_render_artifact` needs only JAX (the artifact
+carries the whole program); the `render_frame_exported` convenience ALSO
+imports fsnerf_tpu.data.rays for camera-ray generation — a serving process
+that builds its own rays can use the loaded callable directly without the
+package.
+
 Artifacts are platform-specific (the export records the lowering platform;
-a TPU export replays on TPU only). Chunk shapes are static: the callable
-accepts exactly [chunksize, 3] ray arrays and `render_frame_exported` does
-the chunk/pad loop, mirroring render/renderer.py::render_frame.
+a TPU export replays on TPU only — Pallas custom calls included, verified
+on v5e). Chunk shapes are static: the callable accepts exactly
+[chunksize, 3] ray arrays and `render_frame_exported` does the chunk/pad
+loop, mirroring render/renderer.py::render_frame.
 """
 
 from __future__ import annotations
@@ -87,14 +94,22 @@ def load_render_artifact(path: str) -> Tuple[Callable, dict]:
     return jax.jit(exported.call), meta
 
 
-def render_frame_exported(artifact, pose) -> Tuple[np.ndarray, np.ndarray]:
+def render_frame_exported(artifact, pose,
+                          compact_transfer: bool = False,
+                          ) -> Tuple[np.ndarray, np.ndarray]:
     """Render a full frame from a pose through an exported renderer.
 
     `artifact`: a path or a (fn, meta) pair from load_render_artifact.
     Mirrors render/renderer.py::render_frame's chunk/pad loop (static chunk
     shapes; padded rays point down the -z axis and are cropped after).
 
-    Returns (rgb [H, W, 3], depth [H, W]) as numpy arrays.
+    `compact_transfer`: quantize on device before the device->host pull
+    (rgb to uint8 with to8b semantics, depth to float16) — 4x less
+    transfer; use on tunneled/remote TPU setups where device->host
+    bandwidth is the bottleneck (see render/renderer.py::render_path).
+
+    Returns (rgb [H, W, 3], depth [H, W]) as numpy arrays (uint8/float16
+    when compact_transfer).
     """
     from fsnerf_tpu.data.rays import get_rays, to_ndc
 
@@ -121,8 +136,10 @@ def render_frame_exported(artifact, pose) -> Tuple[np.ndarray, np.ndarray]:
         rgb, depth = fn(rays_o[sl], rays_d[sl])
         imgs.append(rgb)
         depths.append(depth)
-    img = jnp.concatenate(imgs, axis=0)[:n_rays]
+    img = jnp.concatenate(imgs, axis=0)[:n_rays].reshape(H, W, 3)
     depth = jnp.clip(jnp.concatenate(depths, axis=0)[:n_rays],
-                     meta["near"], meta["far"])
-    return (np.asarray(img.reshape(H, W, 3)),
-            np.asarray(depth.reshape(H, W)))
+                     meta["near"], meta["far"]).reshape(H, W)
+    if compact_transfer:
+        img = (255.0 * jnp.clip(img, 0.0, 1.0)).astype(jnp.uint8)
+        depth = depth.astype(jnp.float16)
+    return np.asarray(img), np.asarray(depth)
