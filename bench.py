@@ -271,6 +271,31 @@ def main():
     sinerf_rays_sec = s_bench * batch_size / (time.perf_counter() - t0)
     _stamp("sinerf section done")
 
+    # sinerf rendering through the fused SIREN forward kernel (the
+    # cli.make_render_model_fn eval/video path). Guarded: a failure here
+    # must not cost the headline JSON line.
+    sinerf_render_rays_sec = float("nan")
+    try:
+        from fsnerf_tpu.cli import make_render_model_fn
+        model_fn_s = make_render_model_fn(model_s, state_s.params, cfg_s)
+        renderer_s = make_chunk_renderer(
+            model_fn_s, grid=state_s.grid, n_samples=cfg.sampling.n_samples,
+            white_bkgd=True, near=scene.near, far=scene.far,
+            n_compact=compactor_s.k,
+            query_stride=resolve_query_stride(cfg.sampling, scene.aabb))
+        jax.block_until_ready(renderer_s(*chunks[0]))   # compile
+        t0 = time.perf_counter()
+        for ro, rd in chunks:
+            out = renderer_s(ro, rd)
+        # fetch fence: block_until_ready alone is unreliable for isolated
+        # render loops through the axon tunnel (CLAUDE.md)
+        float(np.asarray(out[0]).ravel()[0])
+        sinerf_render_rays_sec = len(chunks) * 16384 / (time.perf_counter()
+                                                        - t0)
+        _stamp("sinerf render section done")
+    except Exception as e:
+        _stamp(f"sinerf render section FAILED: {type(e).__name__}: {e}")
+
     final_psnr = float(jax.device_get(metrics)["psnr"])
     print(json.dumps({
         "metric": "train_rays_per_sec_per_chip",
@@ -285,6 +310,7 @@ def main():
           f" | fused_render {fused_render_rays_sec:.0f} rays/s"
           f" | hierarchical {hier_rays_sec:.0f} rays/s"
           f" | sinerf {sinerf_rays_sec:.0f} rays/s"
+          f" | sinerf_render {sinerf_render_rays_sec:.0f} rays/s"
           f" | baseline anchor: 5x A100@{A100_TRAIN_RAYS_PER_SEC:.0f} rays/s",
           file=sys.stderr)
 

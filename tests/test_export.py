@@ -85,3 +85,20 @@ def test_render_frame_exported_matches(setup, tmp_path):
         chunksize=CHUNK)
     np.testing.assert_allclose(rgb, np.asarray(rgb_ref), atol=1e-5)
     np.testing.assert_allclose(depth, np.asarray(depth_ref), atol=1e-4)
+
+
+def test_render_frame_exported_compact_transfer(setup, tmp_path):
+    """compact_transfer quantizes on device: uint8 rgb with to8b semantics,
+    float16 depth — same pixels as the f32 pull after quantization."""
+    cfg, scene, model_fn, grid, renderer = setup
+    path = export_render_artifact(
+        renderer, CHUNK, str(tmp_path / "artifact3"),
+        hwf=scene.hwf, near=scene.near, far=scene.far)
+    rgb_f32, depth_f32 = render_frame_exported(path, scene.poses[0])
+    rgb8, depth16 = render_frame_exported(path, scene.poses[0],
+                                          compact_transfer=True)
+    assert rgb8.dtype == np.uint8 and depth16.dtype == np.float16
+    np.testing.assert_array_equal(
+        rgb8, (255.0 * np.clip(rgb_f32, 0, 1)).astype(np.uint8))
+    np.testing.assert_allclose(depth16.astype(np.float32), depth_f32,
+                               rtol=2e-3)
