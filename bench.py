@@ -271,18 +271,22 @@ def main():
     sinerf_rays_sec = s_bench * batch_size / (time.perf_counter() - t0)
     _stamp("sinerf section done")
 
-    # sinerf rendering through the fused SIREN forward kernel (the
-    # cli.make_render_model_fn eval/video path). Guarded: a failure here
-    # must not cost the headline JSON line.
+    # sinerf rendering through the fused SIREN ray-march kernel (the
+    # cli.make_fused_render_fn eval/video path since r4 — MLP + compositing
+    # + exact early exit; previously the plain fused forward at 293k).
+    # Guarded: a failure here must not cost the headline JSON line.
     sinerf_render_rays_sec = float("nan")
     try:
-        from fsnerf_tpu.cli import make_render_model_fn
-        model_fn_s = make_render_model_fn(model_s, state_s.params, cfg_s)
+        from fsnerf_tpu.ops.pallas.render import make_fused_siren_ray_renderer
+        fused_s = make_fused_siren_ray_renderer(
+            state_s.params, n_layers=cfg_s.model.n_layers,
+            early_stop_eps=1e-4)
         renderer_s = make_chunk_renderer(
-            model_fn_s, grid=state_s.grid, n_samples=cfg.sampling.n_samples,
+            None, grid=state_s.grid, n_samples=cfg.sampling.n_samples,
             white_bkgd=True, near=scene.near, far=scene.far,
             n_compact=compactor_s.k,
-            query_stride=resolve_query_stride(cfg.sampling, scene.aabb))
+            query_stride=resolve_query_stride(cfg.sampling, scene.aabb),
+            fused_render_fn=fused_s)
         jax.block_until_ready(renderer_s(*chunks[0]))   # compile
         t0 = time.perf_counter()
         for ro, rd in chunks:

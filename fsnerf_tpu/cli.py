@@ -104,18 +104,27 @@ def make_fused_render_fn(params, cfg, step=None, mesh=None):
     """Fused ray-march render kernel (MLP + compositing + exact early exit,
     ops/pallas/render.py) when --fused_render applies; None otherwise.
 
-    Gated to NeRF + occgrid + an accelerator backend (Mosaic kernels cannot
-    compile on CPU — mirror resolve_fused_kernel's backend check, and the
-    same no_dirs/skip constraints). Multi-chip: the kernel runs under
-    shard_map on the mesh's batch axes (renderer.py pads chunks to a
+    Gated to NeRF/SiNeRF + occgrid + an accelerator backend (Mosaic kernels
+    cannot compile on CPU — mirror resolve_fused_kernel's backend check, and
+    the same no_dirs/skip constraints for NeRF). Multi-chip: the kernel runs
+    under shard_map on the mesh's batch axes (renderer.py pads chunks to a
     device-divisible ray count).
     """
     skip = tuple(cfg.model.skip)
-    if not (cfg.model.fused_render and cfg.model.model == "nerf"
+    if not (cfg.model.fused_render
+            and cfg.model.model in ("nerf", "sinerf")
             and cfg.sampling.strategy == "occgrid"
-            and jax.default_backend() != "cpu"
-            and not cfg.encoder.no_dirs
-            and (not skip or max(skip) < cfg.model.n_layers - 1)):
+            and jax.default_backend() != "cpu"):
+        return None
+    if cfg.model.model == "sinerf":
+        # the SIREN trunk variant of the ray-march kernel (VERDICT r3
+        # item 2 — sinerf eval/video previously throttled to the XLA
+        # pipeline / the plain fused forward)
+        from fsnerf_tpu.ops.pallas.render import make_fused_siren_ray_renderer
+        return make_fused_siren_ray_renderer(
+            params, n_layers=cfg.model.n_layers,
+            early_stop_eps=cfg.sampling.early_stop_eps)
+    if cfg.encoder.no_dirs or (skip and max(skip) >= cfg.model.n_layers - 1):
         return None
     from fsnerf_tpu.ops.pallas.render import make_fused_ray_renderer
     from fsnerf_tpu.train.step import make_masks
@@ -404,6 +413,19 @@ def main(argv=None):
                                     mesh=mesh)
         logger.info("final: psnr %.3f ssim %.4f lpips %s",
                     metrics["psnr"], metrics["ssim"], metrics["lpips"])
+        # Held-out TEST metrics alongside val: the reference builds the
+        # K-means test split but never evaluates it (its final metrics come
+        # from the val loader only, run-nerf.py:393-402) — here the
+        # three-way split protocol (splitter.py:48-67) is actually consumed.
+        if len(test_split.imgs) > 0:
+            t_metrics, _ = evaluate_split(model, state.params, state.grid,
+                                          test_split, cfg,
+                                          chunksize=2 * cfg.train.batch_size,
+                                          mesh=mesh)
+            metrics.update({f"test_{k}": v for k, v in t_metrics.items()})
+            logger.info("test: psnr %.3f ssim %.4f lpips %s",
+                        t_metrics["psnr"], t_metrics["ssim"],
+                        t_metrics["lpips"])
         if not cfg.log.debug:
             with open(os.path.join(out_dir, "final_metrics.json"), "w") as fh:
                 json.dump(metrics, fh)

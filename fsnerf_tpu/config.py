@@ -317,8 +317,16 @@ _SECTION_TYPES = {
 
 
 def config_parser() -> argparse.ArgumentParser:
-    """CLI mirroring src/utils/parser.py flag names (9 groups, 30+ flags)."""
-    p = argparse.ArgumentParser(description="Train NeRF for view synthesis (TPU).")
+    """CLI mirroring src/utils/parser.py flag names (9 groups, 30+ flags).
+
+    allow_abbrev=False: argparse prefix abbreviations (e.g. `--n_iter` for
+    `--n_iters`) would be PARSED but invisible to _explicit_flags's exact
+    token scan, so with --config the abbreviated flag would silently fail
+    to override the YAML. Rejecting abbreviations makes the explicit-flag
+    detection exact.
+    """
+    p = argparse.ArgumentParser(description="Train NeRF for view synthesis (TPU).",
+                                allow_abbrev=False)
     g = p.add_argument_group("encoder")
     g.add_argument("--d_input", default=3, type=int)
     g.add_argument("--n_freqs", default=10, type=int)
@@ -421,6 +429,18 @@ def config_parser() -> argparse.ArgumentParser:
     g = p.add_argument_group("validation")
     g.add_argument("--val", action="store_true")
     g.add_argument("--val_rate", default=500, type=int)
+    # The reference PARSES --val_ratio (default 0.25, parser.py:134-137) but
+    # never passes it to Splitter, whose own defaults (0.15/0.15,
+    # splitter.py:31-32) are what every reference run actually used. The
+    # 0.15 defaults here match that effective behavior; unlike the
+    # reference, these flags are actually consumed (data/splitter.py).
+    g.add_argument("--val_ratio", default=0.15, type=float,
+                   help="Fraction of views K-means-selected for validation "
+                        "(reference effective default 0.15 — its --val_ratio "
+                        "flag was dead)")
+    g.add_argument("--test_ratio", default=0.15, type=float,
+                   help="Fraction of views K-means-selected for the test "
+                        "split (selected before val, splitter.py:48-67)")
 
     g = p.add_argument_group("regularizers")
     g.add_argument("--ao", default=None, type=float)
@@ -507,6 +527,8 @@ _FLAG_MAP = {
     "beta": ("train", "beta"),
     "val": ("train", "val"),
     "val_rate": ("train", "val_rate"),
+    "val_ratio": ("data", "val_ratio"),
+    "test_ratio": ("data", "test_ratio"),
     "ckpt_every": ("train", "ckpt_every"),
     "resume": ("train", "resume"),
     "import_torch_ckpt": ("train", "import_torch_ckpt"),

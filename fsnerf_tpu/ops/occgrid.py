@@ -356,20 +356,35 @@ def query_with_density(grid: OccGrid, x: jax.Array):
 
 
 def _cell_positions(
-    flat_idx: jax.Array, ab: jax.Array, res: int, key: Optional[jax.Array]
+    flat_idx: jax.Array, ab: jax.Array, res: int, key: Optional[jax.Array],
+    u=None,
 ) -> jax.Array:
     """World positions inside cells `flat_idx` of the level with AABB `ab`,
-    uniformly jittered within each cell (center when key is None)."""
+    uniformly jittered within each cell (center when key is None). A
+    precomputed jitter `u` overrides the key (the sharded refresh generates
+    the FULL region's jitter replicated, then slices — so per-cell jitter is
+    identical to the unsharded update)."""
     iz = flat_idx % res
     iy = (flat_idx // res) % res
     ix = flat_idx // (res * res)
     ijk = jnp.stack([ix, iy, iz], axis=-1).astype(jnp.float32)
-    if key is None:
-        u = 0.5
-    else:
-        u = jax.random.uniform(key, ijk.shape)
+    if u is None:
+        u = 0.5 if key is None else jax.random.uniform(key, ijk.shape)
     lo, hi = ab[:3], ab[3:]
     return lo + (ijk + u) / res * (hi - lo)
+
+
+def _axes_index(plan) -> jax.Array:
+    """Row-major linear device index over mesh axes `plan` = ((name, size),
+    ...) (matches parallel/train_parallel.py::_global_index and the
+    concatenation order of lax.all_gather with a tuple axis_name: first axis
+    slowest). Sizes ride in statically: jax.lax.axis_size lowers to
+    psum(1, name), which fails to trace inside the refresh's lax.cond on a
+    multi-axis mesh."""
+    idx = jax.lax.axis_index(plan[0][0])
+    for name, size in plan[1:]:
+        idx = idx * size + jax.lax.axis_index(name)
+    return idx
 
 
 def update(
@@ -383,6 +398,7 @@ def update(
     warmup_steps: int = 256,
     update_parts: int = 4,
     update_interval: int = 16,
+    shard_axes=None,
 ) -> OccGrid:
     """One occupancy-grid refresh (nerfacc update_every_n_steps semantics).
 
@@ -391,6 +407,20 @@ def update(
 
     jit-safe: warm-up vs partial refresh is a lax.cond on `step`; the partial
     slice is a round-robin dynamic_slice with a static size.
+
+    shard_axes: optional ((axis_name, axis_size), ...) mesh-axis plan when
+    called inside shard_map (sizes are static mesh facts; querying them with
+    jax.lax.axis_size inside the refresh's lax.cond fails to trace on a
+    multi-axis mesh). The density eval (the expensive stage: the full MLP
+    over the refreshed cells, ~13% of early-phase step time single-chip) is
+    then partitioned across the mesh's devices and all-gathered, instead of
+    every chip redundantly evaluating all cells. Exact: the cell indices and
+    per-cell jitter are computed replicated (negligible cost) and each chip
+    evaluates a contiguous slice — per-row MLP outputs are independent, so
+    the gathered result is bitwise-equal to the replicated update (asserted
+    on the virtual 8-mesh, tests/test_parallel.py). Falls back to the
+    replicated eval when the refresh-slice size is not divisible by the
+    device count.
     """
     res, L = grid.resolution, grid.levels
     n = grid.n_cells
@@ -398,6 +428,30 @@ def update(
 
     def eval_level(l: int, flat_idx: jax.Array) -> jax.Array:
         ab = level_aabb(grid.base_aabb, l)
+        k_cells = flat_idx.shape[0]
+        if shard_axes:
+            n_dev = 1
+            for _, size in shard_axes:
+                n_dev *= size
+            if n_dev > 1 and k_cells % n_dev == 0:
+                u = (jax.random.uniform(keys[l], (k_cells, 3))
+                     if keys[l] is not None else None)
+                k_loc = k_cells // n_dev
+                start = _axes_index(shard_axes) * k_loc
+                idx_loc = jax.lax.dynamic_slice_in_dim(flat_idx, start, k_loc)
+                u_loc = (None if u is None else
+                         jax.lax.dynamic_slice_in_dim(u, start, k_loc))
+                x = _cell_positions(idx_loc, ab, res, None, u=u_loc)
+                occ_loc = density_fn(x) * render_step_size
+                # gather one axis at a time, fastest-varying (minor) axis
+                # first — composes to the row-major device order of
+                # _axes_index. (A single all_gather with a tuple axis_name
+                # hits the same multi-axis tracing failure as lax.axis_size
+                # inside this lax.cond.)
+                for name, _ in reversed(shard_axes):
+                    occ_loc = jax.lax.all_gather(occ_loc, name, axis=0,
+                                                 tiled=True)
+                return occ_loc
         x = _cell_positions(flat_idx, ab, res, keys[l])
         return density_fn(x) * render_step_size
 

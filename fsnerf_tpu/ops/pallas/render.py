@@ -87,10 +87,13 @@ def _mlp_chunk(encx, encd, ws, n_layers, skip, density_activation):
     return rgb, sigma
 
 
-def _render_kernel(n_layers, skip, density_activation, chunk_s, log_eps,
-                   names, *refs):
+def _render_kernel(mlp_fn, chunk_s, log_eps, names, *refs):
     """refs = (encx_t, encd_rep, t_t, delta_t, mask_t, *weights,
-               stats_out, rgb_acc, misc_acc)."""
+               stats_out, rgb_acc, misc_acc).
+
+    mlp_fn(encx, encd, ws) -> (rgb [bN,128] lanes 0..2, sigma [bN,128]
+    lane 0, activated) — the model trunk+heads; NeRF (_mlp_chunk) and
+    SiNeRF (siren.py::_fwd_siren) share this compositing shell."""
     encx_ref, encd_ref, t_ref, delta_ref, mask_ref = refs[:5]
     ws = {n: refs[5 + i][:] for i, n in enumerate(names)}
     stats_ref = refs[5 + len(names)]
@@ -116,8 +119,7 @@ def _render_kernel(n_layers, skip, density_activation, chunk_s, log_eps,
     def _chunk():
         e2 = encx_ref[0]                                  # [bR*cS, d_enc]
         ed = encd_ref[:]                                  # [bR*cS, d_dir]
-        rgb, sigma_g = _mlp_chunk(e2, ed, ws, n_layers, skip,
-                                  density_activation)
+        rgb, sigma_g = mlp_fn(e2, ed, ws)
 
         # per-sample scalars in [bR, cS] (sample axis in lanes); the sigma
         # head's lane 0 is re-laid-out from GEMM-row space — static relayout
@@ -153,8 +155,10 @@ def _fused_render_call(encx_t, encd_rep, t_t, deltas_t, mask_t, flat_weights,
     n_chunks, n_rcs, d_enc = encx_t.shape
     R = n_rcs // chunk_s
     names = _weight_names(n_layers, skip)
+    mlp_fn = functools.partial(_mlp_chunk, n_layers=n_layers, skip=skip,
+                               density_activation=density_activation)
     kernel = functools.partial(
-        _render_kernel, n_layers, skip, density_activation, chunk_s,
+        _render_kernel, mlp_fn, chunk_s,
         float(math.log(early_stop_eps)), names)
     plane = pl.BlockSpec((1, block_rows, chunk_s), lambda i, c: (c, i, 0),
                          memory_space=pltpu.VMEM)
@@ -178,6 +182,117 @@ def _fused_render_call(encx_t, encd_rep, t_t, deltas_t, mask_t, flat_weights,
         ],
         interpret=interpret,
     )(encx_t, encd_rep, t_t, deltas_t, mask_t, *flat_weights)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "n_layers", "alphas", "block_rows", "chunk_s", "early_stop_eps",
+    "interpret"))
+def _fused_render_call_siren(xt, d_rep, t_t, deltas_t, mask_t, flat_weights,
+                             n_layers, alphas, block_rows, chunk_s,
+                             early_stop_eps, interpret):
+    """SiNeRF variant of _fused_render_call: same compositing shell
+    (_render_kernel), the SIREN trunk+heads (siren.py::_fwd_siren with
+    _sincos_fast) as the mlp_fn. Inputs are RAW coordinates/dirs (SiNeRF
+    consumes unencoded inputs, reference models.py:237-309) padded to 16
+    lanes — no positional-encoding stream."""
+    from fsnerf_tpu.ops.pallas.siren import _fwd_siren, siren_weight_names
+
+    n_chunks, n_rcs, d_in = xt.shape
+    R = n_rcs // chunk_s
+    names = siren_weight_names(n_layers)
+
+    def mlp_fn(x, d, ws):
+        rgb, sigma, _ = _fwd_siren(x, d, ws, n_layers, alphas)
+        return rgb, sigma
+
+    kernel = functools.partial(
+        _render_kernel, mlp_fn, chunk_s,
+        float(math.log(early_stop_eps)), names)
+    plane = pl.BlockSpec((1, block_rows, chunk_s), lambda i, c: (c, i, 0),
+                         memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=(R // block_rows, n_chunks),
+        in_specs=[
+            pl.BlockSpec((1, block_rows * chunk_s, d_in),
+                         lambda i, c: (c, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_rows * chunk_s, d_rep.shape[-1]),
+                         lambda i, c: (i, 0), memory_space=pltpu.VMEM),
+            plane, plane, plane,
+            *[pl.BlockSpec(memory_space=pltpu.VMEM) for _ in flat_weights],
+        ],
+        out_specs=pl.BlockSpec((block_rows, 8), lambda i, c: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((R, 8), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((block_rows, 128), jnp.float32),
+            pltpu.VMEM((block_rows, 8), jnp.float32),
+        ],
+        interpret=interpret,
+    )(xt, d_rep, t_t, deltas_t, mask_t, *flat_weights)
+
+
+def make_fused_siren_ray_renderer(
+    params: dict,
+    n_layers: int = 8,
+    alphas=None,
+    early_stop_eps: float = 1e-4,
+    block_rows: int = 128,
+    chunk_s: int = 16,
+    interpret: bool = False,
+):
+    """SiNeRF fused ray-march renderer: render_fn(x, dirs, t, deltas, mask,
+    bkgd) -> dict, the SIREN counterpart of make_fused_ray_renderer (VERDICT
+    r3 item 2: sinerf eval/video previously fell back to the XLA pipeline).
+    Compositing semantics identical (reference rendering.py:86-96 over the
+    SiNeRF forward, models.py:237-309); dirs are consumed RAW per ray."""
+    from fsnerf_tpu.ops.pallas.siren import (_flat_siren, prep_siren_params)
+
+    prepped = prep_siren_params(params, n_layers=n_layers)
+    flat = tuple(_flat_siren(prepped, n_layers))
+    if alphas is None:
+        alphas = (30.0,) + (1.0,) * (n_layers - 1)      # run-nerf.py:69
+    alphas = tuple(float(a) for a in alphas)
+    d_in_pad = prepped["d_in_pad"]
+    eps = max(float(early_stop_eps), 1e-30)
+
+    def render_fn(x, dirs, t, deltas, mask, bkgd=0.0):
+        R, K, _ = x.shape
+        cs = _pick_chunk_s(K, chunk_s)
+        nC = K // cs
+        bR = min(block_rows, max(8, R))
+        f32 = jnp.float32
+        n_pad = _round_up(max(R, bR), bR)
+
+        def pad_rays(a, fill=0.0):
+            if n_pad == R:
+                return a
+            widths = [(0, n_pad - R)] + [(0, 0)] * (a.ndim - 1)
+            return jnp.pad(a, widths, constant_values=fill)
+
+        xt = pad_rays(x).reshape(n_pad, nC, cs, 3)
+        xt = xt.transpose(1, 0, 2, 3).reshape(nC, n_pad * cs, 3)
+        xp = jnp.zeros((nC, n_pad * cs, d_in_pad), jnp.bfloat16)
+        xp = xp.at[:, :, :3].set(xt.astype(jnp.bfloat16))
+
+        dp = jnp.zeros((n_pad, d_in_pad), jnp.bfloat16)
+        dp = dp.at[:, :3].set(pad_rays(dirs).astype(jnp.bfloat16))
+        d_rep = jnp.broadcast_to(dp[:, None, :], (n_pad, cs, d_in_pad)
+                                 ).reshape(n_pad * cs, d_in_pad)
+
+        def plane(p, fill=0.0):
+            p = pad_rays(p.astype(f32), fill)
+            return p.reshape(n_pad, nC, cs).transpose(1, 0, 2)
+
+        stats = _fused_render_call_siren(
+            xp, d_rep, plane(t), plane(deltas), plane(mask.astype(f32)),
+            flat, n_layers, alphas, bR, cs, eps, interpret)[:R]
+        trans_final = stats[:, 5]
+        rgb = stats[:, 0:3] + trans_final[:, None] * jnp.asarray(bkgd, f32)
+        return {"rgb": rgb, "opacity": stats[:, 3], "depth": stats[:, 4],
+                "trans_final": trans_final}
+
+    return render_fn
 
 
 def _pick_chunk_s(k: int, want: int = 16) -> int:

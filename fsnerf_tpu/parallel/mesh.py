@@ -75,8 +75,13 @@ def make_hybrid_mesh(dcn_axis: str = "replica", ici_axis: str = "data",
     Devices are grouped by process_index (host locality == ICI locality on
     TPU slices). `n_groups` overrides the grouping for single-process
     testing — e.g. n_groups=2 on the 8-device virtual CPU mesh simulates
-    2 hosts x 4 chips.
+    2 hosts x 4 chips. NOTE: n_groups is keyword-only in spirit — the first
+    positional is the AXIS NAME; make_hybrid_mesh(2) would silently name an
+    axis `2` (ints are legal jax axis names, and collectives then misparse
+    them as positional axes), hence the guard below.
     """
+    assert isinstance(dcn_axis, str) and isinstance(ici_axis, str), (
+        "axis names must be strings — did you mean n_groups=...?")
     devs = jax.devices()
     if n_groups:
         assert len(devs) % n_groups == 0, (len(devs), n_groups)

@@ -50,6 +50,9 @@ def make_parallel_train_step(
     local_bs = max(1, t_cfg.batch_size // n_dev)
     loss_fn = make_loss_fn(model, cfg, scene)
     axes = (axis,) if isinstance(axis, str) else tuple(mesh.axis_names)
+    # static (name, size) plan for the sharded grid refresh (sizes cannot be
+    # queried with lax.axis_size inside the refresh's lax.cond)
+    shard_plan = tuple((a, int(mesh.shape[a])) for a in axes)
 
     def _global_index():
         """Linear device index across all mesh axes (row-major)."""
@@ -82,9 +85,12 @@ def make_parallel_train_step(
                                               state.params)
         params = optax.apply_updates(state.params, updates)
 
-        # replicated update: same key on every chip -> same grid
+        # sharded refresh: cell indices + jitter replicated (same key on
+        # every chip), the density MLP eval partitioned over the mesh and
+        # all-gathered — bitwise-equal to the replicated update at 1/n_dev
+        # of the refresh FLOPs per chip (ops/occgrid.py::update)
         grid = maybe_update_grid(model, cfg, params, state.grid, state.step,
-                                 k_grid)
+                                 k_grid, shard_axes=shard_plan)
 
         metrics = {"loss": loss, "psnr": psnr_from_mse(main_mse),
                    "occupancy": og.occupancy_fraction(grid),

@@ -164,9 +164,14 @@ def make_loss_fn(model, cfg, scene) -> Callable:
     return loss_fn
 
 
-def maybe_update_grid(model, cfg, params, grid, step, k_grid):
+def maybe_update_grid(model, cfg, params, grid, step, k_grid,
+                      shard_axes=None):
     """Occupancy-grid EMA refresh every update_interval steps (shared by the
-    single-chip and mesh-sharded steps; reference run-nerf.py:287-295)."""
+    single-chip and mesh-sharded steps; reference run-nerf.py:287-295).
+
+    shard_axes: ((axis_name, axis_size), ...) plan when called from the
+    shard_map step — the refresh's density eval is then partitioned over the
+    mesh and all-gathered (exact; see ops/occgrid.py::update)."""
     s_cfg = cfg.sampling
     if s_cfg.strategy != "occgrid":
         return grid
@@ -189,7 +194,8 @@ def maybe_update_grid(model, cfg, params, grid, step, k_grid):
             occ_thre=s_cfg.occ_thre, ema_decay=s_cfg.ema_decay,
             warmup_steps=s_cfg.warmup_steps,
             update_parts=s_cfg.update_parts,
-            update_interval=interval)
+            update_interval=interval,
+            shard_axes=shard_axes)
 
     return jax.lax.cond(step % interval == 0, do_update, lambda g: g, grid)
 

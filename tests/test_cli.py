@@ -68,6 +68,10 @@ def test_cli_main_blender_end_to_end(blender_root, tmp_path, monkeypatch):
         metrics = json.load(fh)
     assert np.isfinite(metrics["psnr"])
     assert 0 <= metrics["ssim"] <= 1
+    # the K-means test split is evaluated too (the reference builds it but
+    # never consumes it — run-nerf.py:393-402 uses the val loader only)
+    assert np.isfinite(metrics["test_psnr"])
+    assert 0 <= metrics["test_ssim"] <= 1
     ckpts = os.listdir(os.path.join(run_dir, "ckpt"))
     assert ckpts, "final checkpoint written"
     video = os.listdir(os.path.join(run_dir, "video"))

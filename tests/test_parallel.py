@@ -276,6 +276,52 @@ def test_fused_render_sharded_matches_single_device():
                                atol=7e-3)
 
 
+@pytest.mark.parametrize("mesh_kind", ["flat", "hybrid"])
+def test_sharded_grid_refresh_matches_replicated(mesh_kind):
+    """The mesh-partitioned occupancy refresh (density eval sharded over
+    chips + all_gather) must be BITWISE equal to the replicated update —
+    same cells, same jitter, same math (VERDICT r3 item 4)."""
+    from jax.sharding import PartitionSpec as P
+
+    from fsnerf_tpu.ops import occgrid as og
+    from fsnerf_tpu.parallel.mesh import make_hybrid_mesh
+
+    mesh = (make_mesh(8) if mesh_kind == "flat"
+            else make_hybrid_mesh(n_groups=2))
+    axes = tuple((a, int(mesh.shape[a])) for a in mesh.axis_names)
+    aabb = jnp.array([-1.5, -1.5, -1.5, 1.5, 1.5, 1.5])
+
+    def density_fn(x):
+        # row-independent nonlinear density standing in for the MLP
+        return jnp.sum(jnp.sin(3.0 * x) * jnp.cos(2.0 * x[..., ::-1]), -1)
+
+    def run(step, shard_axes, grid):
+        def body(g):
+            return og.update(g, density_fn, jax.random.key(5),
+                             jnp.asarray(step), render_step_size=0.1,
+                             warmup_steps=2, update_parts=4,
+                             shard_axes=shard_axes)
+        if shard_axes is None:
+            return jax.jit(body)(grid)
+        smapped = jax.shard_map(body, mesh=mesh, in_specs=(P(),),
+                                out_specs=P(), check_vma=False)
+        return jax.jit(smapped)(grid)
+
+    for levels in (1, 2):
+        grid = og.create(aabb, resolution=16, levels=levels,
+                         query_dilation=1)
+        for step in (0, 16):     # warmup full refresh + round-robin partial
+            g_rep = run(step, None, grid)
+            g_sh = run(step, axes, grid)
+            np.testing.assert_array_equal(np.asarray(g_rep.occs),
+                                          np.asarray(g_sh.occs))
+            np.testing.assert_array_equal(np.asarray(g_rep.occs_q),
+                                          np.asarray(g_sh.occs_q))
+            np.testing.assert_array_equal(np.asarray(g_rep.thre),
+                                          np.asarray(g_sh.thre))
+            grid = g_rep
+
+
 def test_hybrid_mesh_tiled_render():
     from fsnerf_tpu.parallel.mesh import make_hybrid_mesh
     from fsnerf_tpu.parallel.train_parallel import render_rays_tiled

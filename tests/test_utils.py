@@ -103,6 +103,30 @@ def test_config_yaml_override(tmp_path):
     assert cfg.model.d_filter == base.model.d_filter
 
 
+def test_config_rejects_abbreviated_flags(tmp_path):
+    """argparse prefix abbreviations (--n_iter for --n_iters) would be
+    invisible to the explicit-flag scan and silently lose to the YAML;
+    allow_abbrev=False makes them a hard parse error instead."""
+    import pytest
+
+    from fsnerf_tpu.config import Config, config_from_args
+    path = tmp_path / "c.yaml"
+    Config().save_yaml(str(path))
+    with pytest.raises(SystemExit):
+        config_from_args(["--config", str(path), "--n_iter", "42"])
+
+
+def test_config_split_ratio_flags():
+    """--val_ratio/--test_ratio are CLI-reachable (the reference parses
+    --val_ratio but never consumes it; effective reference split is
+    0.15/0.15 from Splitter's own defaults, splitter.py:31-32)."""
+    from fsnerf_tpu.config import config_from_args
+    cfg = config_from_args(["--val_ratio", "0.25", "--test_ratio", "0.1"])
+    assert cfg.data.val_ratio == 0.25
+    assert cfg.data.test_ratio == 0.1
+    assert config_from_args([]).data.val_ratio == 0.15
+
+
 def test_lpips_returns_none_without_weights():
     from fsnerf_tpu.eval.lpips import load_lpips
     assert load_lpips("/nonexistent/weights.npz") is None
