@@ -86,6 +86,44 @@ def test_freq_reg_and_occlusion_paths(scene):
     assert np.isfinite(metrics["loss"])
 
 
+def test_fewshot_freq_reg_config_converges(scene):
+    """Regression pin for the round-4 few-shot defaults decision
+    (benchmarks/quality_fewshot.py, BASELINE.md r4): at n=3 training views
+    the recommended config is FreeNeRF annealed frequency masking ON
+    (freq_reg_end = 0.9 * n_iters), occlusion reg OFF. Guards that the
+    chosen config trains to a sane held-out view, not just that the
+    regularizer path compiles (test_freq_reg_and_occlusion_paths)."""
+    from fsnerf_tpu.render.renderer import render_frame
+
+    cfg = _tiny_cfg("occgrid")
+    cfg = cfg.replace(encoder=EncoderConfig(
+        n_freqs=4, n_freqs_views=2, freq_reg_end=int(0.9 * 300)))
+    model = make_model(cfg)
+    idx = np.array([0, 2, 4])                       # 3 of 6 orbit views
+    pool = pool_from_images(scene.imgs[idx], scene.poses[idx], scene.hwf)
+    optimizer = make_optimizer(cfg)
+    state = init_state(model, cfg, optimizer, scene.aabb, jax.random.key(0))
+    step_fn = jax.jit(make_train_step(model, cfg, optimizer, pool, scene),
+                      donate_argnums=0)
+    for _ in range(cfg.train.n_iters):
+        state, metrics = step_fn(state)
+    metrics = jax.device_get(metrics)
+    assert np.isfinite(metrics["loss"])
+    assert metrics["psnr"] > 14.0, metrics
+
+    def model_fn(x, d=None):
+        return model.apply(state.params, x, d)
+
+    img, _ = render_frame(
+        model_fn, jnp.asarray(scene.poses[5]), scene.hwf, scene.near,
+        scene.far, strategy="occgrid", grid=state.grid,
+        n_samples=cfg.sampling.n_samples,
+        render_step_size=cfg.sampling.render_step_size, white_bkgd=True)
+    gt = jnp.asarray(scene.imgs[5])
+    heldout_psnr = -10.0 * np.log10(float(jnp.mean((img - gt) ** 2)))
+    assert heldout_psnr > 12.0, heldout_psnr
+
+
 def test_scanned_training_matches_loop(scene):
     """lax.scan-chunked training must produce the same trajectory as the
     step-by-step Python loop: identical RNG threading, identical params."""
