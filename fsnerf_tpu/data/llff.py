@@ -119,17 +119,38 @@ class LLFFDataset:
 
     def _ndc_aabb(self, levels: int = 4) -> np.ndarray:
         """Base AABB sized so the occupancy grid's OUTERMOST of `levels`
-        levels covers the projected ray extents (llff.py:75-84)."""
-        import jax.numpy as jnp
-        from fsnerf_tpu.data.rays import get_rays_batch, to_ndc
+        levels covers the projected ray extents (llff.py:75-84).
 
-        o, d = get_rays_batch(jnp.asarray(self.poses), self.hwf)
-        o = np.asarray(o).reshape(-1, 3)
-        d = np.asarray(d).reshape(-1, 3)
-        no, nd = to_ndc(jnp.asarray(o), jnp.asarray(d), self.hwf, 1.0)
-        no, nd = np.asarray(no), np.asarray(nd)
-        ends = no + nd
-        lo = np.minimum(no.min(0), ends.min(0))
-        hi = np.maximum(no.max(0), ends.max(0))
+        Pure NUMPY on purpose: this is host-side metadata computed at
+        dataset-ingest time. The original jnp version ran dozens of EAGER
+        ops on the default (axon) device — per-op remote dispatch/compile
+        through the tunnel stalled ingest for 10+ minutes, and the
+        full-res ray grids it pulled back (~180 MB at 20 fern-scale
+        views) ride the DEVICE->HOST path that degrades to ~300 KB/s
+        (measured r4, benchmarks/bench_llff.py). Parity with the jnp
+        get_rays_batch/to_ndc pipeline is pinned by
+        tests/test_llff_e2e.py::test_ndc_aabb_numpy_matches_jnp."""
+        from fsnerf_tpu.data.synthetic import _numpy_get_rays
+
+        H, W, focal = self.hwf
+        lo = np.full(3, np.inf, np.float32)
+        hi = np.full(3, -np.inf, np.float32)
+        for pose in np.asarray(self.poses):
+            o, d = _numpy_get_rays(pose, self.hwf)
+            o, d = o.reshape(-1, 3), d.reshape(-1, 3)
+            # mirror of data/rays.py::to_ndc at near=1.0
+            t = -(1.0 + o[:, 2]) / d[:, 2]
+            o = o + t[:, None] * d
+            ox, oy, oz = o[:, 0], o[:, 1], o[:, 2]
+            dx, dy, dz = d[:, 0], d[:, 1], d[:, 2]
+            no = np.stack([-(2.0 * focal / W) * ox / oz,
+                           -(2.0 * focal / H) * oy / oz,
+                           1.0 + 2.0 / oz], axis=-1)
+            nd = np.stack([-(2.0 * focal / W) * (dx / dz - ox / oz),
+                           -(2.0 * focal / H) * (dy / dz - oy / oz),
+                           -2.0 / oz], axis=-1)
+            ends = no + nd
+            lo = np.minimum(lo, np.minimum(no.min(0), ends.min(0)))
+            hi = np.maximum(hi, np.maximum(no.max(0), ends.max(0)))
         return (np.concatenate([lo, hi]) / 2 ** (levels - 1)).astype(
             np.float32)

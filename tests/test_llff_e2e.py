@@ -97,3 +97,28 @@ def test_llff_ndc_rays_in_grid_bounds(llff_root):
     tmin, tmax = ray_aabb_intersect(o, d, og.outer_aabb(grid))
     frac_hit = float(jnp.mean((tmin < tmax).astype(jnp.float32)))
     assert frac_hit > 0.99
+
+
+def test_ndc_aabb_numpy_matches_jnp(llff_root):
+    """LLFFSplit._ndc_aabb is a pure-numpy mirror of the jnp
+    get_rays_batch/to_ndc pipeline (it must not touch the device: eager
+    jnp ops at ingest stalled for minutes through the axon tunnel —
+    data/llff.py docstring). Pin the numpy math to the jnp functions."""
+    import jax.numpy as jnp
+
+    from fsnerf_tpu.data.rays import get_rays_batch, to_ndc
+
+    sp = Splitter("llff", "tinyfern", n_training_views=3,
+                  data_root=llff_root, seed=0)
+    sp.split()
+    train_split, _, _ = sp.get_splits()
+
+    levels = 4
+    o, d = get_rays_batch(jnp.asarray(train_split.poses), train_split.hwf)
+    no, nd = to_ndc(o.reshape(-1, 3), d.reshape(-1, 3), train_split.hwf, 1.0)
+    no, nd = np.asarray(no), np.asarray(nd)
+    ends = no + nd
+    lo = np.minimum(no.min(0), ends.min(0))
+    hi = np.maximum(no.max(0), ends.max(0))
+    want = np.concatenate([lo, hi]) / 2 ** (levels - 1)
+    np.testing.assert_allclose(train_split.aabb, want, rtol=1e-5, atol=1e-6)
