@@ -61,6 +61,15 @@ class ModelConfig:
     # 321k rays/s, BASELINE.md r3). --no_fused_save_acts restores the
     # zero-HBM recompute backward.
     fused_save_acts: bool = True
+    # Compute the positional encoding INSIDE the fused train kernels
+    # (periodic-4 lane layout + _sincos_fast, ops/pallas/mlp_train.py::
+    # _encode_block) instead of XLA-side encode/cast/pad: removes the
+    # row-proportional glue that was the entire hierarchical "kernel MFU
+    # gap" (benchmarks/sol_hier_kernel.py) and shrinks kernel inputs from
+    # 192 to 128 B/row. Identical math up to the <= 9e-5 sincos polynomial
+    # error (below the features' bf16 rounding). --no_fused_encode reverts
+    # to precomputed-encoding operands.
+    fused_encode: bool = True
     # Row-block size of the fused train kernels (None = auto per backward
     # mode, ops/pallas/mlp_train.py). Programmatic tuning knob (no CLI
     # flag); measured on v5e in benchmarks/ab_block_rows.py /
@@ -357,6 +366,11 @@ def config_parser() -> argparse.ArgumentParser:
                         "backward instead of saving the activation chain "
                         "to HBM (identical gradients; saved-acts default "
                         "is +7.9%% on v5e, see BASELINE.md)")
+    g.add_argument("--no_fused_encode", action="store_false",
+                   dest="fused_encode", default=True,
+                   help="Fused train kernel: precompute the positional "
+                        "encoding in XLA instead of in-kernel "
+                        "(ops/pallas/mlp_train.py::_encode_block)")
     g.add_argument("--no_fused_render", action="store_true",
                    help="Disable the fused MLP+composite+early-exit render "
                         "kernel for eval/video (on by default for nerf + "
@@ -486,6 +500,7 @@ _FLAG_MAP = {
     "density_activation": ("model", "density_activation"),
     "fused_kernel": ("model", "fused_kernel"),
     "fused_save_acts": ("model", "fused_save_acts"),
+    "fused_encode": ("model", "fused_encode"),
     "dataset": ("data", "dataset"),
     "scene": ("data", "scene"),
     "n_imgs": ("data", "n_imgs"),

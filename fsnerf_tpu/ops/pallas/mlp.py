@@ -23,7 +23,7 @@ Design notes (see /opt/skills/guides/pallas_guide.md):
 from __future__ import annotations
 
 import functools
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -35,11 +35,98 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def encode_lane_consts(n_freqs: int, log_space: bool = True, d_in: int = 3):
+    """Static lane constants for the IN-KERNEL periodic-4 encoding layout.
+
+    The fused train kernels can compute the positional encoding themselves
+    (ops/pallas/mlp_train.py) from a [N, 16] f32 operand holding FOUR tiled
+    copies of [v0, v1, v2, 0]: concatenating that operand L/16 times puts
+    v[lane % 4] on every lane with period 4 — no lane gather/shuffle needed.
+    The encoding LAYOUT is therefore lane 4g+j (j in 0..2):
+      g == 0           -> identity v_j
+      1 <= g <= F      -> sin(f_{g-1} v_j)
+      F < g <= 2F      -> cos(f_{g-F-1} v_j)
+    (j == 3 lanes and groups past 2F are zero). prep_params(enc_lanes=...)
+    permutes the encoding-consuming weight ROWS into the same layout, so
+    the kernel math is unchanged — only the feature order differs from the
+    reference [x, sin f0 x, cos f0 x, ...] interleaving.
+
+    Returns (L, src, valid, freq): lane count (multiple of 16), the source
+    feature row per lane (into the reference-layout encoding), a {0,1}
+    validity mask, and the per-lane frequency — all static numpy.
+    """
+    import numpy as np
+
+    groups = 1 + 2 * n_freqs
+    L = _round_up(4 * groups, 16)
+    if log_space:
+        freqs = 2.0 ** np.linspace(0.0, n_freqs - 1, n_freqs)
+    else:
+        freqs = np.linspace(1.0, 2.0 ** (n_freqs - 1), n_freqs)
+    src = np.zeros(L, np.int32)
+    valid = np.zeros(L, np.float32)
+    freq = np.zeros(L, np.float32)
+    for g in range(groups):
+        for j in range(d_in):
+            lane = 4 * g + j
+            if g == 0:
+                src[lane] = j
+            elif g <= n_freqs:
+                src[lane] = d_in + 2 * d_in * (g - 1) + j
+                freq[lane] = freqs[g - 1]
+            else:
+                src[lane] = d_in + 2 * d_in * (g - 1 - n_freqs) + d_in + j
+                freq[lane] = freqs[g - 1 - n_freqs]
+            valid[lane] = 1.0
+    return L, src, valid, freq
+
+
+def expand_lane_mask(mask, n_freqs: int, L: int):
+    """[F] per-band FreeNeRF mask -> [1, L] per-lane multiplier (identity
+    lanes 1, invalid lanes 0) for the in-kernel encoding. mask None =
+    identity."""
+    import numpy as np
+
+    _, _, valid, _ = encode_lane_consts(n_freqs, d_in=3)
+    lane = np.arange(L)
+    g = lane // 4
+    band = np.where(g == 0, 0, np.where(g <= n_freqs, g - 1,
+                                        g - 1 - n_freqs))
+    if mask is None:
+        return jnp.asarray(valid)[None, :]
+    per_lane = jnp.where(jnp.asarray(g == 0),
+                         1.0, jnp.asarray(mask)[jnp.asarray(band)])
+    return (per_lane * jnp.asarray(valid))[None, :]
+
+
+def encode_lane_operand(n_freqs: int, log_space: bool = True, mask=None):
+    """Packed [3, L] f32 lane-constant operand for the in-kernel encoding
+    (ops/pallas/mlp_train.py::_encode_block): row 0 = per-lane frequency
+    (0 on identity/invalid lanes -> the kernel selects raw pass-through
+    there), row 1 = per-lane phase (pi/2 on cos lanes — folds cos into the
+    shared sin polynomial), row 2 = validity x FreeNeRF mask
+    (expand_lane_mask; `mask` may be a traced [F] array or None). Packing
+    group identity into [1, L] rows instead of an in-kernel broadcasted
+    iota keeps [bN, L]-sized integer/select temporaries off the kernel's
+    scoped-VMEM stack — the margin that lets the saved-acts backward keep
+    1024-row blocks."""
+    import numpy as np
+
+    L, _, _, freq = encode_lane_consts(n_freqs, log_space)
+    g = np.arange(L) // 4
+    phase = np.where(g > n_freqs, np.pi / 2, 0.0).astype(np.float32)
+    m = expand_lane_mask(mask, n_freqs, L)
+    return jnp.concatenate([jnp.asarray(freq)[None, :],
+                            jnp.asarray(phase)[None, :],
+                            m.astype(jnp.float32)], axis=0)
+
+
 def prep_params(
     params: dict,
     n_layers: int = 8,
     skip: Tuple[int, ...] = (4,),
     compute_dtype=jnp.bfloat16,
+    enc_lanes: Optional[Tuple[int, int]] = None,
 ) -> dict:
     """Flatten a flax NeRF params tree into padded bf16 kernel operands.
 
@@ -48,6 +135,11 @@ def prep_params(
         the layer after each skip gets (W_h [256, 256], W_e [enc_pad, 256]).
       heads: sigma [256, 128pad], connection [256, 256],
         branch (W_feat [256, 128], W_dir [encd_pad, 128]), rgb [128, 128pad].
+
+    enc_lanes: (n_freqs, n_freqs_views) — permute the encoding-consuming
+    weight rows (layers_0, skip W_e, branch W_d) into the periodic-4
+    IN-KERNEL encoding layout (encode_lane_consts) instead of zero-padding
+    the reference layout; d_enc_pad/d_dir_pad become the lane counts L.
     """
     if skip and max(skip) >= n_layers - 1:
         raise ValueError(
@@ -62,6 +154,19 @@ def prep_params(
         return jnp.zeros((rows, w.shape[1]), cd).at[: w.shape[0]].set(
             w.astype(cd))
 
+    def lane_remap(w, src, valid):
+        wl = jnp.take(w.astype(cd), jnp.asarray(src), axis=0)
+        return wl * jnp.asarray(valid, cd)[:, None]
+
+    enc_rows = pad_rows                 # encoding-consuming weight rows
+    dir_rows = pad_rows                 # view-dir-consuming weight rows
+    if enc_lanes is not None:
+        Lx, src_x, valid_x, _ = encode_lane_consts(enc_lanes[0])
+        Ld, src_d, valid_d, _ = encode_lane_consts(enc_lanes[1])
+        d_enc_pad = Lx
+        enc_rows = lambda w, rows: lane_remap(w, src_x, valid_x)  # noqa: E731
+        dir_rows = lambda w, rows: lane_remap(w, src_d, valid_d)  # noqa: E731
+
     def pad_cols(w, cols):
         return jnp.zeros((w.shape[0], cols), cd).at[:, : w.shape[1]].set(
             w.astype(cd))
@@ -74,17 +179,17 @@ def prep_params(
         if i > 0 and (i - 1) in skip:
             d = w.shape[1]
             w_h = w[:d].astype(cd)                     # [256, 256]
-            w_e = pad_rows(w[d:], d_enc_pad)           # [enc_pad, 256]
+            w_e = enc_rows(w[d:], d_enc_pad)           # [enc_pad, 256]
             trunk_w.append((w_h, w_e))
         elif i == 0:
-            trunk_w.append(pad_rows(w, d_enc_pad))
+            trunk_w.append(enc_rows(w, d_enc_pad))
         else:
             trunk_w.append(w.astype(cd))
         trunk_b.append(b)
 
     d = p["connection"]["kernel"].shape[0]
     d_dir = p["branch"]["kernel"].shape[0] - d         # e.g. 27
-    d_dir_pad = _round_up(d_dir, 32)
+    d_dir_pad = Ld if enc_lanes is not None else _round_up(d_dir, 32)
     out["d_dir"] = d_dir
     out["d_dir_pad"] = d_dir_pad
 
@@ -96,7 +201,7 @@ def prep_params(
     out["b_conn"] = p["connection"]["bias"].astype(cd)[None, :]
     wb = p["branch"]["kernel"]
     out["w_branch_h"] = wb[:d].astype(cd)
-    out["w_branch_d"] = pad_rows(wb[d:], d_dir_pad)
+    out["w_branch_d"] = dir_rows(wb[d:], d_dir_pad)
     out["b_branch"] = p["branch"]["bias"].astype(cd)[None, :]
     out["w_rgb"] = pad_cols(p["rgb"]["kernel"], 128)
     out["b_rgb"] = pad_cols(p["rgb"]["bias"][None, :], 128)

@@ -28,7 +28,9 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from fsnerf_tpu.ops.pallas.mlp import _round_up, prep_params  # noqa: F401
+from fsnerf_tpu.ops.pallas.fastmath import _sincos_fast
+from fsnerf_tpu.ops.pallas.mlp import (_round_up,  # noqa: F401
+                                       encode_lane_operand, prep_params)
 
 
 # Backward-kernel bias grads as ones-vector MXU contractions instead of VPU
@@ -144,12 +146,52 @@ def _flat_from_prepped(prepped):
     return flat
 
 
-def _fwd_kernel(n_layers, skip, names, interleave, *refs):
-    encx_ref, encd_ref = refs[0], refs[1]
-    ws = {n: refs[2 + i][:] for i, n in enumerate(names)}
-    out_ref = refs[2 + len(names)]
-    encxs = _split_rows(encx_ref[:], interleave)
-    encds = _split_rows(encd_ref[:], interleave)
+def _encode_block(v16, consts):
+    """In-kernel positional encoding in the periodic-4 lane layout.
+
+    v16: [bN, 16] f32 — FOUR tiled copies of [v0, v1, v2, 0], so after
+    concatenating to [bN, L] every lane holds v[lane % 4] (lane % 4 == 3
+    and pad groups are zeroed by the mask row). consts: the packed [3, L]
+    f32 lane-constant operand (freq / phase / validity*FreeNeRF-mask rows,
+    ops/pallas/mlp.py::encode_lane_operand). Layout and weight-row
+    permutation parity: ops/pallas/mlp.py::encode_lane_consts.
+
+    sin/cos run through _sincos_fast (Mosaic's jnp.sin lowering is ~10x
+    slower); cos lanes fold into the SAME sin evaluation via the per-lane
+    +pi/2 phase row, and identity lanes select raw pass-through on
+    freq == 0 — ALL group logic rides the [1, L] constant rows, so no
+    [bN, L] iota/compare temporaries hit the kernel's scoped-VMEM stack
+    (the saved-acts backward at 1024-row blocks sits ~0.8 MB from the
+    16 MB limit). Numerics: the poly's <= 9e-5 abs error plus <= ~1.2e-4
+    phase rounding at the largest arguments (f32 add of pi/2 to
+    |2^(F-1) x| ~ 2k) both vanish under the bf16 cast here — the SAME
+    argument as the SIREN kernels, quality-validated at full scale in
+    BASELINE.md (quality_fastsin)."""
+    L = consts.shape[1]
+    freq, phase, mask = consts[0:1, :], consts[1:2, :], consts[2:3, :]
+    xg = jnp.concatenate([v16] * (L // 16), axis=1)           # [bN, L]
+    s, _ = _sincos_fast(xg * freq + phase, want_sin=True)
+    enc = jnp.where(freq == jnp.float32(0), xg, s)
+    return (enc * mask).astype(jnp.bfloat16)
+
+
+def _input_encs(refs, encode, interleave):
+    """Consume the leading input refs: (encx, encd) pre-encoded operands,
+    or (x16, d16, consts_x, consts_d) with in-kernel encoding. Returns
+    (encxs, encds, n_consumed) — encodings as interleave-split row
+    sub-block lists."""
+    if encode is None:
+        return (_split_rows(refs[0][:], interleave),
+                _split_rows(refs[1][:], interleave), 2)
+    encx = _encode_block(refs[0][:], refs[2][:])
+    encd = _encode_block(refs[1][:], refs[3][:])
+    return _split_rows(encx, interleave), _split_rows(encd, interleave), 4
+
+
+def _fwd_kernel(n_layers, skip, names, interleave, encode, *refs):
+    encxs, encds, k = _input_encs(refs, encode, interleave)
+    ws = {n: refs[k + i][:] for i, n in enumerate(names)}
+    out_ref = refs[k + len(names)]
     rgbs, sigmas, _ = _fwd_compute(encxs, encds, ws, n_layers, skip)
     sub = out_ref.shape[0] // interleave
     for j in range(interleave):
@@ -272,37 +314,37 @@ def _bwd_grads(n_layers, skip, names, ws, douts, encxs, encds, dout_bs, sv):
             dhs = [_dot_bT(d, ws[f"t{i}"]) for d in dhs_b]
 
 
-def _bwd_kernel(n_layers, skip, names, interleave, *refs):
-    """Recompute backward: refs = (encx, encd, dout16, *weights,
+def _bwd_kernel(n_layers, skip, names, interleave, encode, *refs):
+    """Recompute backward: refs = (<inputs>, dout16, *weights,
     *dweight_outs). The whole forward is re-run per row-block in VMEM (zero
-    activation HBM traffic)."""
-    encx_ref, encd_ref, dout_ref = refs[0], refs[1], refs[2]
-    ws = {n: refs[3 + i][:] for i, n in enumerate(names)}
-    douts = {n: refs[3 + len(names) + i] for i, n in enumerate(names)}
+    activation HBM traffic); in encode mode the positional encoding is
+    recomputed too (identical ops/dtypes as the forward -> identical bf16
+    features -> gradients stay bitwise-equal to precomputed-enc operands)."""
+    encxs, encds, k = _input_encs(refs, encode, interleave)
+    dout_ref = refs[k]
+    ws = {n: refs[k + 1 + i][:] for i, n in enumerate(names)}
+    douts = {n: refs[k + 1 + len(names) + i] for i, n in enumerate(names)}
 
     @pl.when(pl.program_id(0) == 0)
     def _init():
         for n in names:
             douts[n][:] = jnp.zeros_like(douts[n])
 
-    encxs = _split_rows(encx_ref[:], interleave)
-    encds = _split_rows(encd_ref[:], interleave)
     _, _, sv = _fwd_compute(encxs, encds, ws, n_layers, skip, save=True)
     _bwd_grads(n_layers, skip, names, ws, douts, encxs, encds,
                _split_rows(_expand_dout(dout_ref[:]), interleave), sv)
 
 
-def _fwd_kernel_save(n_layers, skip, names, interleave, saved_layers, *refs):
+def _fwd_kernel_save(n_layers, skip, names, interleave, saved_layers,
+                     encode, *refs):
     """Forward kernel that ALSO streams trunk activations to HBM
     (acts_ref [BN, len(saved_layers)*D] bf16) for the saved-activations
     backward. saved_layers selects WHICH layers stream (acts_stride>1
     halves/quarters the HBM traffic; the backward regenerates the gaps,
     see _reconstruct_h)."""
-    encx_ref, encd_ref = refs[0], refs[1]
-    ws = {n: refs[2 + i][:] for i, n in enumerate(names)}
-    out_ref, acts_ref = refs[2 + len(names)], refs[3 + len(names)]
-    encxs = _split_rows(encx_ref[:], interleave)
-    encds = _split_rows(encd_ref[:], interleave)
+    encxs, encds, k = _input_encs(refs, encode, interleave)
+    ws = {n: refs[k + i][:] for i, n in enumerate(names)}
+    out_ref, acts_ref = refs[k + len(names)], refs[k + 1 + len(names)]
     rgbs, sigmas, sv = _fwd_compute(encxs, encds, ws, n_layers, skip,
                                     save=True)
     D = ws["w_conn"].shape[0]
@@ -349,25 +391,27 @@ def _reconstruct_h(encxs, acts_s, ws, n_layers, skip, saved_layers, D):
     return h
 
 
-def _bwd_kernel_saved(n_layers, skip, names, interleave, saved_layers, *refs):
-    """Saved-activations backward: refs = (encx, encd, dout16, acts,
+def _bwd_kernel_saved(n_layers, skip, names, interleave, saved_layers,
+                      encode, *refs):
+    """Saved-activations backward: refs = (<inputs>, dout16, acts,
     *weights, *dweight_outs). Reads the trunk chain saved by
     _fwd_kernel_save (regenerating acts_stride gaps, _reconstruct_h) and
     recomputes only the head stack (~0.2 vs ~1.0 MFLOP/sample) — cuts
     executed backward FLOPs by the full trunk forward at the price of
     streaming [BN, len(saved)*D] bf16 through HBM (DMA overlaps the grad
-    GEMMs)."""
-    encx_ref, encd_ref, dout_ref, acts_ref = refs[0], refs[1], refs[2], refs[3]
-    ws = {n: refs[4 + i][:] for i, n in enumerate(names)}
-    douts = {n: refs[4 + len(names) + i] for i, n in enumerate(names)}
+    GEMMs). In encode mode the encodings (needed for the t0/skip/dir weight
+    grads) are recomputed in-kernel — cheap VPU work that replaces the
+    encx/encd HBM reads."""
+    encxs, encds, k = _input_encs(refs, encode, interleave)
+    dout_ref, acts_ref = refs[k], refs[k + 1]
+    ws = {n: refs[k + 2 + i][:] for i, n in enumerate(names)}
+    douts = {n: refs[k + 2 + len(names) + i] for i, n in enumerate(names)}
 
     @pl.when(pl.program_id(0) == 0)
     def _init():
         for n in names:
             douts[n][:] = jnp.zeros_like(douts[n])
 
-    encxs = _split_rows(encx_ref[:], interleave)
-    encds = _split_rows(encd_ref[:], interleave)
     acts_s = _split_rows(acts_ref[:], interleave)
     D = ws["w_conn"].shape[0]
     h = _reconstruct_h(encxs, acts_s, ws, n_layers, skip, saved_layers, D)
@@ -380,12 +424,25 @@ def _bwd_kernel_saved(n_layers, skip, names, interleave, saved_layers, *refs):
 def make_fused_train_mlp(n_layers: int, skip: Tuple[int, ...],
                          block_rows: int = 1024, interpret: bool = False,
                          save_acts: bool = False, interleave: int = 1,
-                         acts_stride: int = 1):
+                         acts_stride: int = 1,
+                         encode: Optional[Tuple[int, int]] = None):
     """Build a custom-VJP fused MLP: (flat_weights, encx, encd) -> [N, 4].
 
     flat_weights order = _weight_names(n_layers, skip); shapes as produced by
     prep_params (padded, bf16). encx/encd must be pre-padded to
     (N multiple of block_rows, d_enc_pad / d_dir_pad) bf16.
+
+    encode: (n_freqs, n_freqs_views) — compute the positional encoding IN
+    KERNEL (periodic-4 lane layout, _encode_block; weights must come from
+    prep_params(enc_lanes=encode)). The signature becomes
+    (flat, x16, d16, consts_x, consts_d) with x16/d16 [N, 16] f32 tiled
+    raw coords and packed [3, L] f32 lane constants
+    (mlp.encode_lane_operand). Kills the XLA-side
+    encode/cast/pad glue AND its HBM round-trip (~5.7 ns/row — the entire
+    hierarchical "kernel MFU gap", benchmarks/sol_hier_kernel.py): inputs
+    shrink from 192 B/row (encx bf16 128 + encd 64) to 128 B/row of f32
+    raw coords, and sin/cos move to overlapped in-kernel VPU work via
+    _sincos_fast.
 
     save_acts: stream the trunk activation chain ([N, n_layers*D] bf16) to
     HBM in the forward and skip the trunk recompute in the backward —
@@ -422,18 +479,38 @@ def make_fused_train_mlp(n_layers: int, skip: Tuple[int, ...],
     saved_layers = tuple(i for i in range(n_layers)
                          if i % acts_stride == acts_stride - 1
                          or i == n_layers - 1)
+    # Encode mode pushes the saved-acts backward's scoped-VMEM watermark
+    # ~0.8 MB past Mosaic's 16 MB DEFAULT limit at 1024-row blocks (the
+    # [bN, 16] f32 coord operands allocate full 128-lane tiles and the
+    # in-kernel encode adds [bN, L] f32 stack temps). v5e physically has
+    # 128 MB VMEM/core; raise the per-kernel limit rather than shrink the
+    # blocks — 512/896-row blocks measured 2-9% slower e2e
+    # (ab_block_rows.py, ab_acts_stride.py). Regenerating h0 from the
+    # in-kernel encx to shave the acts stream instead measured WORSE
+    # (stack grew 16.79 -> 17.48 M: the f32 regen GEMM temp does not
+    # overlap with the grad-GEMM temps).
+    compiler_params = pltpu.CompilerParams(vmem_limit_bytes=32 * 1024 * 1024)
 
     def row_spec(cols):
         return pl.BlockSpec((block_rows, cols), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
 
-    def fwd_call(flat, encx, encd, save):
-        n = encx.shape[0]
+    def input_specs(inputs):
+        """Row-blocked specs for encx/encd, or x16/d16 + resident [3, L]
+        packed lane-constant operands in encode mode."""
+        if encode is None:
+            return [row_spec(inputs[0].shape[1]), row_spec(inputs[1].shape[1])]
+        return [row_spec(16), row_spec(16),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM)]
+
+    def fwd_call(flat, inputs, save):
+        n = inputs[0].shape[0]
         if save:
             D = flat[names.index("w_conn")].shape[0]
             kern = functools.partial(_fwd_kernel_save, n_layers,
                                      tuple(skip), names, interleave,
-                                     saved_layers)
+                                     saved_layers, encode)
             n_saved = len(saved_layers)
             out_specs = (row_spec(4), row_spec(n_saved * D))
             out_shape = (jax.ShapeDtypeStruct((n, 4), jnp.float32),
@@ -441,24 +518,24 @@ def make_fused_train_mlp(n_layers: int, skip: Tuple[int, ...],
                                               jnp.bfloat16))
         else:
             kern = functools.partial(_fwd_kernel, n_layers, tuple(skip),
-                                     names, interleave)
+                                     names, interleave, encode)
             out_specs = row_spec(4)
             out_shape = jax.ShapeDtypeStruct((n, 4), jnp.float32)
         return pl.pallas_call(
             kern,
             grid=(n // block_rows,),
             in_specs=[
-                row_spec(encx.shape[1]),
-                row_spec(encd.shape[1]),
+                *input_specs(inputs),
                 *[pl.BlockSpec(memory_space=pltpu.VMEM) for _ in flat],
             ],
             out_specs=out_specs,
             out_shape=out_shape,
             interpret=interpret,
-        )(encx, encd, *flat)
+            compiler_params=compiler_params,
+        )(*inputs, *flat)
 
-    def bwd_call(flat, encx, encd, acts, dout):
-        n = encx.shape[0]
+    def bwd_call(flat, inputs, acts, dout):
+        n = inputs[0].shape[0]
         # pad the [N, 4] cotangent to 16 lanes only; the kernel tiles to 128
         # (_expand_dout) — a 128-lane f32 pad here costs ~16x the real HBM
         # traffic of the cotangent
@@ -471,20 +548,19 @@ def make_fused_train_mlp(n_layers: int, skip: Tuple[int, ...],
         if save_acts:
             kern = functools.partial(_bwd_kernel_saved, n_layers,
                                      tuple(skip), names, interleave,
-                                     saved_layers)
-            operands = (encx, encd, dout16, acts)
+                                     saved_layers, encode)
+            operands = (*inputs, dout16, acts)
             acts_specs = [row_spec(acts.shape[1])]
         else:
             kern = functools.partial(_bwd_kernel, n_layers, tuple(skip),
-                                     names, interleave)
-            operands = (encx, encd, dout16)
+                                     names, interleave, encode)
+            operands = (*inputs, dout16)
             acts_specs = []
         return pl.pallas_call(
             kern,
             grid=(n // block_rows,),
             in_specs=[
-                row_spec(encx.shape[1]),
-                row_spec(encd.shape[1]),
+                *input_specs(inputs),
                 row_spec(16),
                 *acts_specs,
                 *[pl.BlockSpec(memory_space=pltpu.VMEM) for _ in flat],
@@ -492,31 +568,42 @@ def make_fused_train_mlp(n_layers: int, skip: Tuple[int, ...],
             out_specs=tuple(dw_specs),
             out_shape=tuple(dw_shapes),
             interpret=interpret,
+            compiler_params=compiler_params,
         )(*operands, *flat)
 
-    @jax.custom_vjp
-    def fused(flat, encx, encd):
+    def primal(flat, *inputs):
         # primal (non-differentiated) calls never save: the [N, n_layers*D]
         # acts stream only pays for itself when a backward will consume it
         # (pallas_call outputs are opaque to XLA — a dropped acts output
         # could not be dead-code-eliminated)
-        return fwd_call(flat, encx, encd, save=False)
+        return fwd_call(flat, inputs, save=False)
 
-    def fused_fwd(flat, encx, encd):
+    def forward(flat, *inputs):
         if save_acts:
-            out, acts = fwd_call(flat, encx, encd, save=True)
-            return out, (flat, encx, encd, acts)
-        return fwd_call(flat, encx, encd, save=False), (flat, encx, encd,
-                                                        None)
+            out, acts = fwd_call(flat, inputs, save=True)
+            return out, (flat, inputs, acts)
+        return fwd_call(flat, inputs, save=False), (flat, inputs, None)
 
-    def fused_bwd(res, dout):
-        flat, encx, encd, acts = res
-        dws = bwd_call(flat, encx, encd, acts, dout)
+    def backward(res, dout):
+        flat, inputs, acts = res
+        dws = bwd_call(flat, inputs, acts, dout)
         dws = [g.astype(w.dtype) for g, w in zip(dws, flat)]
         return (type(flat)(dws) if isinstance(flat, tuple) else dws,
-                jnp.zeros_like(encx), jnp.zeros_like(encd))
+                *[jnp.zeros_like(a) for a in inputs])
 
-    fused.defvjp(fused_fwd, fused_bwd)
+    if encode is None:
+        @jax.custom_vjp
+        def fused(flat, encx, encd):
+            return primal(flat, encx, encd)
+        fused.defvjp(lambda flat, encx, encd: forward(flat, encx, encd),
+                     backward)
+    else:
+        @jax.custom_vjp
+        def fused(flat, x16, d16, cx, cd):
+            return primal(flat, x16, d16, cx, cd)
+        fused.defvjp(
+            lambda flat, x16, d16, cx, cd: forward(flat, x16, d16, cx, cd),
+            backward)
     return fused, names
 
 
@@ -528,18 +615,22 @@ def make_fused_train_model_fn(
     save_acts: Optional[bool] = None,
     interleave: Optional[int] = None,
     acts_stride: Optional[int] = None,
+    encode_in_kernel: Optional[bool] = None,
 ):
     """Drop-in trainable model_fn factory for the train step.
 
     Returns fn(params, x, dirs, pos_mask, dir_mask) -> [..., 4] whose VJP wrt
     params runs through the Pallas backward kernel. FreeNeRF frequency masks
     apply to the encoded features BEFORE the kernel (identical math to
-    core.models.NeRF's in-model masking).
+    core.models.NeRF's in-model masking) — or, in encode_in_kernel mode, as
+    per-lane multipliers inside it (_encode_block).
 
     save_acts: None resolves from model_cfg.fused_save_acts (see
     ModelConfig). block_rows: None = model_cfg.fused_block_rows, else the
     measured v5e optimum (1024 for both backward modes). interleave: None =
     model_cfg.fused_interleave (sub-chain ILP, see make_fused_train_mlp).
+    encode_in_kernel: None resolves from model_cfg.fused_encode — compute
+    the positional encoding inside the kernel (see make_fused_train_mlp).
     """
     from fsnerf_tpu.core.encoding import positional_encoding
 
@@ -559,11 +650,43 @@ def make_fused_train_model_fn(
         interleave = getattr(model_cfg, "fused_interleave", None) or 1
     if acts_stride is None:
         acts_stride = getattr(model_cfg, "fused_acts_stride", None) or 1
+    if encode_in_kernel is None:
+        encode_in_kernel = bool(getattr(model_cfg, "fused_encode", True))
+    encode = ((enc_cfg.n_freqs, enc_cfg.n_freqs_views)
+              if encode_in_kernel else None)
     fused, _ = make_fused_train_mlp(n_layers, skip, block_rows=block_rows,
                                     interpret=interpret,
                                     save_acts=save_acts,
                                     interleave=interleave,
-                                    acts_stride=acts_stride)
+                                    acts_stride=acts_stride,
+                                    encode=encode)
+
+    if encode_in_kernel:
+        def tile16(v, n_pad):
+            """[N, 3] f32 -> [n_pad, 16]: four copies of [v0, v1, v2, 0]
+            (the kernel concatenates to L lanes — _encode_block)."""
+            n = v.shape[0]
+            v4 = jnp.pad(v.astype(jnp.float32), ((0, n_pad - n), (0, 1)))
+            return jnp.tile(v4, (1, 4))
+
+        def apply_fn(params, x, dirs, pos_mask=None, dir_mask=None):
+            prepped = prep_params(
+                params, n_layers=n_layers, skip=skip,
+                enc_lanes=(enc_cfg.n_freqs, enc_cfg.n_freqs_views))
+            flat = tuple(_flat_from_prepped(prepped))
+            shape = x.shape[:-1]
+            xr = x.reshape(-1, 3)
+            n = xr.shape[0]
+            n_pad = _round_up(max(n, block_rows), block_rows)
+            cx = encode_lane_operand(enc_cfg.n_freqs, enc_cfg.log_space,
+                                     pos_mask)
+            cd = encode_lane_operand(enc_cfg.n_freqs_views,
+                                     enc_cfg.log_space, dir_mask)
+            out = fused(flat, tile16(xr, n_pad),
+                        tile16(dirs.reshape(-1, 3), n_pad), cx, cd)[:n]
+            return out.reshape(*shape, 4)
+
+        return apply_fn
 
     def apply_fn(params, x, dirs, pos_mask=None, dir_mask=None):
         prepped = prep_params(params, n_layers=n_layers, skip=skip)

@@ -49,48 +49,10 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from fsnerf_tpu.ops.pallas.fastmath import _sincos_fast  # noqa: F401
 from fsnerf_tpu.ops.pallas.mlp import _round_up
 from fsnerf_tpu.ops.pallas.mlp_train import (_dotT_a, _dot_bT,
                                              _expand_dout)
-
-
-def _sincos_fast(x, want_sin: bool = True, want_cos: bool = False):
-    """sin/cos by explicit range reduction + minimax polynomials — the
-    in-kernel replacement for jnp.sin/jnp.cos.
-
-    WHY: Mosaic lowers jnp.sin to a conservative multi-op VPU sequence that
-    dominates the SIREN kernel — measured 6.5-9 ms of an 8.3-11 ms forward
-    at the sinerf bench shape (131k rows), vs ~0.7-1.2 ms for this
-    polynomial (benchmarks/sol_siren.py; the whole fused forward drops
-    8.66 -> 3.33 ms in save mode). When BOTH sin and cos are needed (the
-    saved-acts forward streams h_i = sin(a y) and a cos(a y)), the range
-    reduction is shared.
-
-    HOW: k = round(x/pi); r = x - k*pi by two-step Cody-Waite (exact for
-    |x| <= ~1e4 — SIREN arguments are |30 y| <= a few hundred);
-    sin(x) = (-1)^k sin(r), cos(x) = (-1)^k cos(r) with |r| <= pi/2; odd
-    deg-7 / even deg-8 minimax polynomials. Max abs error vs f64 over
-    |x| <= 40: ~9e-5 (sin) / ~1.3e-5 (cos) — both far below the bf16
-    rounding (~4e-3 at 1.0) of every consumer: activations/derivative
-    factors are consumed as bf16 by the next GEMM in all paths.
-    """
-    f32 = jnp.float32
-    k = jnp.round(x * f32(0.3183098861837907))      # 1/pi
-    r = x - k * f32(3.140625)                        # pi split: 8-bit head
-    r = r - k * f32(9.67653589793e-4)                # + correction
-    km = k - 2.0 * jnp.floor(k * 0.5)                # parity of k: 0 or 1
-    sign = 1.0 - 2.0 * km                            # (-1)^k
-    r2 = r * r
-    sin_x = cos_x = None
-    if want_sin:
-        s = r * (f32(1.0) + r2 * (f32(-1.66666546e-1)
-                 + r2 * (f32(8.3321608e-3) + r2 * f32(-1.9515296e-4))))
-        sin_x = sign * s
-    if want_cos:
-        c = (f32(1.0) + r2 * (f32(-0.5) + r2 * (f32(4.166664568e-2)
-             + r2 * (f32(-1.388731625e-3) + r2 * f32(2.443315711e-5)))))
-        cos_x = sign * c
-    return sin_x, cos_x
 
 
 def siren_weight_names(n_layers: int):

@@ -704,3 +704,67 @@ def test_sincos_fast_accuracy():
                                atol=2e-4)
     np.testing.assert_allclose(np.asarray(c), np.cos(np.asarray(x)),
                                atol=2e-4)
+
+
+@pytest.mark.parametrize("save_acts", [False, True])
+@pytest.mark.parametrize("masked", [False, True])
+def test_fused_encode_in_kernel_matches_xla_encoding(small_setup, masked,
+                                                     save_acts):
+    """encode=(F, Fd) mode (in-kernel periodic-4 positional encoding,
+    _encode_block + prep_params(enc_lanes=...)) vs the precomputed-encoding
+    kernel: values and parameter grads, with and without FreeNeRF masks.
+    Tolerances cover the _sincos_fast polynomial (<= 9e-5, below the
+    features' bf16 rounding)."""
+    import jax.tree_util as jtu
+    from fsnerf_tpu.core.encoding import freq_mask
+    from fsnerf_tpu.ops.pallas.mlp import encode_lane_operand
+    from fsnerf_tpu.ops.pallas.mlp import prep_params as prep
+    from fsnerf_tpu.ops.pallas.mlp_train import (
+        _flat_from_prepped, make_fused_train_mlp)
+
+    model, params = small_setup
+    x, d = _inputs(256, seed=11)
+    tgt = jnp.asarray(np.random.default_rng(12).uniform(0, 1, (256, 4)),
+                      dtype=jnp.float32)
+    pos_mask = freq_mask(4, 7, 20) if masked else None
+    dir_mask = freq_mask(2, 7, 20) if masked else None
+
+    fused_ref, _ = make_fused_train_mlp(4, (2,), block_rows=128,
+                                        interpret=True, save_acts=save_acts)
+    fused_enc, _ = make_fused_train_mlp(4, (2,), block_rows=128,
+                                        interpret=True, save_acts=save_acts,
+                                        encode=(4, 2))
+    cx = encode_lane_operand(4, True, pos_mask)
+    cd = encode_lane_operand(2, True, dir_mask)
+
+    def tile16(v):
+        return jnp.tile(jnp.pad(v, ((0, 0), (0, 1))), (1, 4))
+
+    def loss_ref(params):
+        pr = prep(params, n_layers=4, skip=(2,))
+        flat = tuple(_flat_from_prepped(pr))
+        encx = positional_encoding(x, 4, True, pos_mask)
+        encd = positional_encoding(d, 2, True, dir_mask)
+        ex = jnp.zeros((256, pr["d_enc_pad"]), jnp.bfloat16
+                       ).at[:, :encx.shape[1]].set(encx.astype(jnp.bfloat16))
+        ed = jnp.zeros((256, pr["d_dir_pad"]), jnp.bfloat16
+                       ).at[:, :encd.shape[1]].set(encd.astype(jnp.bfloat16))
+        return jnp.mean((fused_ref(flat, ex, ed) - tgt) ** 2)
+
+    def loss_enc(params):
+        pr = prep(params, n_layers=4, skip=(2,), enc_lanes=(4, 2))
+        flat = tuple(_flat_from_prepped(pr))
+        return jnp.mean(
+            (fused_enc(flat, tile16(x), tile16(d), cx, cd) - tgt) ** 2)
+
+    lr, le = float(loss_ref(params)), float(loss_enc(params))
+    assert abs(le - lr) / (abs(lr) + 1e-8) < 5e-3, (le, lr)
+
+    gr = jax.grad(loss_ref)(params)
+    ge = jax.grad(loss_enc)(params)
+    for (pa, a), (_, b) in zip(jtu.tree_flatten_with_path(ge)[0],
+                               jtu.tree_flatten_with_path(gr)[0]):
+        a = np.asarray(a, np.float32)
+        b = np.asarray(b, np.float32)
+        scale = np.abs(b).max() + 1e-8
+        assert np.abs(a - b).max() / scale < 0.06, jtu.keystr(pa)
