@@ -136,7 +136,8 @@ def make_fused_render_fn(params, cfg, step=None, mesh=None):
         log_space=cfg.encoder.log_space,
         density_activation=cfg.model.density_activation,
         early_stop_eps=cfg.sampling.early_stop_eps,
-        pos_mask=pos_mask, dir_mask=dir_mask)
+        pos_mask=pos_mask, dir_mask=dir_mask,
+        fused_encode=bool(getattr(cfg.model, "fused_encode", True)))
 
 
 def derive_eval_n_compact(grid, split, cfg) -> int:

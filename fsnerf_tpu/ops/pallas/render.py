@@ -46,8 +46,11 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from fsnerf_tpu.ops.pallas.mlp import _round_up, prep_params
-from fsnerf_tpu.ops.pallas.mlp_train import _weight_names, _flat_from_prepped
+from fsnerf_tpu.ops.pallas.mlp import (_round_up, encode_lane_operand,
+                                       prep_params)
+from fsnerf_tpu.ops.pallas.mlp_train import (_encode_block,
+                                             _flat_from_prepped,
+                                             _weight_names)
 from fsnerf_tpu.ops.pallas.volrend import _cumsum_lanes
 
 
@@ -87,18 +90,28 @@ def _mlp_chunk(encx, encd, ws, n_layers, skip, density_activation):
     return rgb, sigma
 
 
-def _render_kernel(mlp_fn, chunk_s, log_eps, names, *refs):
+def _render_kernel(mlp_fn, chunk_s, log_eps, names, encode, *refs):
     """refs = (encx_t, encd_rep, t_t, delta_t, mask_t, *weights,
-               stats_out, rgb_acc, misc_acc).
+               stats_out, rgb_acc, misc_acc) — or, with `encode` (in-kernel
+    positional encoding, mlp_train.py::_encode_block periodic-4 layout),
+    (x16_t, d16_rep, consts_x, consts_d, t_t, delta_t, mask_t, ...): the
+    kernel streams RAW [.,16] f32 coordinates (half the HBM bytes of the
+    [.,64+] bf16 encodings) and encodes inside the alive predicate, so
+    early-exited chunks skip the encode too.
 
     mlp_fn(encx, encd, ws) -> (rgb [bN,128] lanes 0..2, sigma [bN,128]
     lane 0, activated) — the model trunk+heads; NeRF (_mlp_chunk) and
     SiNeRF (siren.py::_fwd_siren) share this compositing shell."""
-    encx_ref, encd_ref, t_ref, delta_ref, mask_ref = refs[:5]
-    ws = {n: refs[5 + i][:] for i, n in enumerate(names)}
-    stats_ref = refs[5 + len(names)]
-    rgb_acc = refs[6 + len(names)]     # VMEM scratch [bR, 128] f32
-    misc_acc = refs[7 + len(names)]    # VMEM scratch [bR, 8] f32:
+    if encode:
+        x_ref, d_ref, cx_ref, cd_ref, t_ref, delta_ref, mask_ref = refs[:7]
+        k = 7
+    else:
+        encx_ref, encd_ref, t_ref, delta_ref, mask_ref = refs[:5]
+        k = 5
+    ws = {n: refs[k + i][:] for i, n in enumerate(names)}
+    stats_ref = refs[k + len(names)]
+    rgb_acc = refs[k + 1 + len(names)]     # VMEM scratch [bR, 128] f32
+    misc_acc = refs[k + 2 + len(names)]    # VMEM scratch [bR, 8] f32:
     #   lane 0 = opacity, lane 1 = depth, lane 2 = accumulated optical depth
     c = pl.program_id(1)
     n_chunks = pl.num_programs(1)
@@ -117,8 +130,12 @@ def _render_kernel(mlp_fn, chunk_s, log_eps, names, *refs):
 
     @pl.when(alive & has_valid)
     def _chunk():
-        e2 = encx_ref[0]                                  # [bR*cS, d_enc]
-        ed = encd_ref[:]                                  # [bR*cS, d_dir]
+        if encode:
+            e2 = _encode_block(x_ref[0], cx_ref[:])       # [bR*cS, Lx]
+            ed = _encode_block(d_ref[:], cd_ref[:])       # [bR*cS, Ld]
+        else:
+            e2 = encx_ref[0]                              # [bR*cS, d_enc]
+            ed = encd_ref[:]                              # [bR*cS, d_dir]
         rgb, sigma_g = mlp_fn(e2, ed, ws)
 
         # per-sample scalars in [bR, cS] (sample axis in lanes); the sigma
@@ -151,7 +168,10 @@ def _render_kernel(mlp_fn, chunk_s, log_eps, names, *refs):
     "early_stop_eps", "interpret"))
 def _fused_render_call(encx_t, encd_rep, t_t, deltas_t, mask_t, flat_weights,
                        n_layers, skip, density_activation, block_rows,
-                       chunk_s, early_stop_eps, interpret):
+                       chunk_s, early_stop_eps, interpret, consts=None):
+    """consts = (consts_x [3, Lx], consts_d [3, Ld]) switches the kernel to
+    in-kernel encoding: encx_t/encd_rep then hold RAW periodic-4 [., 16] f32
+    coordinates (weights must be prepped with enc_lanes)."""
     n_chunks, n_rcs, d_enc = encx_t.shape
     R = n_rcs // chunk_s
     names = _weight_names(n_layers, skip)
@@ -159,9 +179,13 @@ def _fused_render_call(encx_t, encd_rep, t_t, deltas_t, mask_t, flat_weights,
                                density_activation=density_activation)
     kernel = functools.partial(
         _render_kernel, mlp_fn, chunk_s,
-        float(math.log(early_stop_eps)), names)
+        float(math.log(early_stop_eps)), names, consts is not None)
     plane = pl.BlockSpec((1, block_rows, chunk_s), lambda i, c: (c, i, 0),
                          memory_space=pltpu.VMEM)
+    const_specs, const_ops = [], []
+    if consts is not None:
+        const_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)] * 2
+        const_ops = list(consts)
     return pl.pallas_call(
         kernel,
         grid=(R // block_rows, n_chunks),
@@ -170,6 +194,7 @@ def _fused_render_call(encx_t, encd_rep, t_t, deltas_t, mask_t, flat_weights,
                          lambda i, c: (c, i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((block_rows * chunk_s, encd_rep.shape[-1]),
                          lambda i, c: (i, 0), memory_space=pltpu.VMEM),
+            *const_specs,
             plane, plane, plane,
             *[pl.BlockSpec(memory_space=pltpu.VMEM) for _ in flat_weights],
         ],
@@ -181,7 +206,7 @@ def _fused_render_call(encx_t, encd_rep, t_t, deltas_t, mask_t, flat_weights,
             pltpu.VMEM((block_rows, 8), jnp.float32),
         ],
         interpret=interpret,
-    )(encx_t, encd_rep, t_t, deltas_t, mask_t, *flat_weights)
+    )(encx_t, encd_rep, *const_ops, t_t, deltas_t, mask_t, *flat_weights)
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -207,7 +232,7 @@ def _fused_render_call_siren(xt, d_rep, t_t, deltas_t, mask_t, flat_weights,
 
     kernel = functools.partial(
         _render_kernel, mlp_fn, chunk_s,
-        float(math.log(early_stop_eps)), names)
+        float(math.log(early_stop_eps)), names, False)
     plane = pl.BlockSpec((1, block_rows, chunk_s), lambda i, c: (c, i, 0),
                          memory_space=pltpu.VMEM)
     return pl.pallas_call(
@@ -316,6 +341,7 @@ def make_fused_ray_renderer(
     interpret: bool = False,
     pos_mask=None,
     dir_mask=None,
+    fused_encode: bool = True,
 ):
     """Build render_fn(x, dirs, t, deltas, mask, bkgd) -> dict for the
     occgrid render path (drop-in for the model_fn + volume_render stage of
@@ -326,15 +352,26 @@ def make_fused_ray_renderer(
         along a ray when rendering — encoded once per ray, repeated in the
         chunk-row layout instead of streaming K encodings from HBM).
       t/deltas: [R, K]; mask: [R, K] bool; bkgd: scalar or [3].
+      fused_encode: compute the positional encoding IN the kernel
+        (mlp_train.py::_encode_block periodic-4 layout): the per-sample HBM
+        stream drops from [., 64] bf16 encodings to [., 16] f32 raw
+        coordinates and the XLA-side encode/pad glue per render chunk
+        disappears; FreeNeRF masks ride the lane-constant operand.
 
     Returns dict(rgb [R,3], opacity [R], depth [R], trans_final [R]).
     """
     from fsnerf_tpu.core.encoding import positional_encoding
 
-    prepped = prep_params(params, n_layers=n_layers, skip=skip)
+    enc_lanes = (n_freqs, n_freqs_views) if fused_encode else None
+    prepped = prep_params(params, n_layers=n_layers, skip=skip,
+                          enc_lanes=enc_lanes)
     flat = tuple(_flat_from_prepped(prepped))
     skip = tuple(skip)
     eps = max(float(early_stop_eps), 1e-30)     # 0 disables exit, keep finite
+    consts = None
+    if fused_encode:
+        consts = (encode_lane_operand(n_freqs, log_space, pos_mask),
+                  encode_lane_operand(n_freqs_views, log_space, dir_mask))
 
     def render_fn(x, dirs, t, deltas, mask, bkgd=0.0):
         R, K, _ = x.shape
@@ -354,18 +391,27 @@ def make_fused_ray_renderer(
         # chunk-major layouts (all chunk addressing is via index maps — the
         # kernel never slices the lane dim dynamically)
         xt = pad_rays(x).reshape(n_pad, nC, cs, 3)
-        xt = xt.transpose(1, 0, 2, 3).reshape(nC * n_pad * cs, 3)
-        encx = positional_encoding(xt, n_freqs, log_space, pos_mask)
-        ex = jnp.zeros((nC, n_pad * cs, d_enc_pad), jnp.bfloat16)
-        ex = ex.at[:, :, : encx.shape[-1]].set(
-            encx.astype(jnp.bfloat16).reshape(nC, n_pad * cs, -1))
+        if fused_encode:
+            xt = xt.transpose(1, 0, 2, 3).reshape(nC, n_pad * cs, 3)
+            x4 = jnp.pad(xt.astype(f32), ((0, 0), (0, 0), (0, 1)))
+            ex = jnp.tile(x4, (1, 1, 4))                 # [nC, n*cs, 16]
+            d4 = jnp.pad(pad_rays(dirs).astype(f32), ((0, 0), (0, 1)))
+            d16 = jnp.tile(d4, (1, 4))
+            ed_rep = jnp.broadcast_to(d16[:, None, :], (n_pad, cs, 16)
+                                      ).reshape(n_pad * cs, 16)
+        else:
+            xt = xt.transpose(1, 0, 2, 3).reshape(nC * n_pad * cs, 3)
+            encx = positional_encoding(xt, n_freqs, log_space, pos_mask)
+            ex = jnp.zeros((nC, n_pad * cs, d_enc_pad), jnp.bfloat16)
+            ex = ex.at[:, :, : encx.shape[-1]].set(
+                encx.astype(jnp.bfloat16).reshape(nC, n_pad * cs, -1))
 
-        encd = positional_encoding(pad_rays(dirs), n_freqs_views, log_space,
-                                   dir_mask)
-        ed = jnp.zeros((n_pad, d_dir_pad), jnp.bfloat16)
-        ed = ed.at[:, : encd.shape[-1]].set(encd.astype(jnp.bfloat16))
-        ed_rep = jnp.broadcast_to(ed[:, None, :], (n_pad, cs, d_dir_pad)
-                                  ).reshape(n_pad * cs, d_dir_pad)
+            encd = positional_encoding(pad_rays(dirs), n_freqs_views,
+                                       log_space, dir_mask)
+            ed = jnp.zeros((n_pad, d_dir_pad), jnp.bfloat16)
+            ed = ed.at[:, : encd.shape[-1]].set(encd.astype(jnp.bfloat16))
+            ed_rep = jnp.broadcast_to(ed[:, None, :], (n_pad, cs, d_dir_pad)
+                                      ).reshape(n_pad * cs, d_dir_pad)
 
         def plane(p, fill=0.0):
             p = pad_rays(p.astype(f32), fill)
@@ -374,7 +420,7 @@ def make_fused_ray_renderer(
         stats = _fused_render_call(
             ex, ed_rep, plane(t), plane(deltas), plane(mask.astype(f32)),
             flat, n_layers, skip, density_activation, bR, cs, eps,
-            interpret)[:R]
+            interpret, consts=consts)[:R]
         trans_final = stats[:, 5]
         rgb = stats[:, 0:3] + trans_final[:, None] * jnp.asarray(bkgd, f32)
         return {"rgb": rgb, "opacity": stats[:, 3], "depth": stats[:, 4],

@@ -384,7 +384,8 @@ def _render_setup():
         jnp.asarray(rd, jnp.float32)
 
 
-def test_fused_render_matches_xla_path():
+@pytest.mark.parametrize("fused_encode", [False, True])
+def test_fused_render_matches_xla_path(fused_encode):
     from fsnerf_tpu.ops.pallas.render import make_fused_ray_renderer
     from fsnerf_tpu.render.renderer import render_rays_occgrid
 
@@ -395,7 +396,8 @@ def test_fused_render_matches_xla_path():
                               ro, rd, grid, **kw)
     fused = make_fused_ray_renderer(params, n_layers=4, skip=(2,), n_freqs=4,
                                     n_freqs_views=2, early_stop_eps=1e-4,
-                                    block_rows=16, chunk_s=8, interpret=True)
+                                    block_rows=16, chunk_s=8, interpret=True,
+                                    fused_encode=fused_encode)
     got = render_rays_occgrid(None, ro, rd, grid, fused_render_fn=fused, **kw)
     np.testing.assert_allclose(np.asarray(got["rgb"]),
                                np.asarray(ref["rgb"]), atol=7e-3)
@@ -405,6 +407,35 @@ def test_fused_render_matches_xla_path():
                                np.asarray(ref["opacity"]), atol=7e-3)
     np.testing.assert_allclose(np.asarray(got["n_valid"]),
                                np.asarray(ref["n_valid"]))
+
+
+def test_fused_render_encode_mode_applies_freq_masks():
+    """In-kernel-encode fused render with FreeNeRF masks == the XLA path
+    with the same masks (masks ride the lane-constant operand's validity
+    row instead of multiplying precomputed features)."""
+    from fsnerf_tpu.core.encoding import freq_mask
+    from fsnerf_tpu.ops.pallas.render import make_fused_ray_renderer
+    from fsnerf_tpu.render.renderer import render_rays_occgrid
+
+    model, params, grid, ro, rd = _render_setup()
+    pos_mask = freq_mask(4, 7, 20)
+    dir_mask = freq_mask(2, 7, 20)
+    kw = dict(n_samples=64, render_step_size=0.05, white_bkgd=True,
+              n_compact=32, early_stop_eps=1e-4)
+    ref = render_rays_occgrid(
+        lambda x, d=None: model.apply(params, x, d, pos_mask=pos_mask,
+                                      dir_mask=dir_mask),
+        ro, rd, grid, **kw)
+    fused = make_fused_ray_renderer(params, n_layers=4, skip=(2,), n_freqs=4,
+                                    n_freqs_views=2, early_stop_eps=1e-4,
+                                    block_rows=16, chunk_s=8, interpret=True,
+                                    pos_mask=pos_mask, dir_mask=dir_mask,
+                                    fused_encode=True)
+    got = render_rays_occgrid(None, ro, rd, grid, fused_render_fn=fused, **kw)
+    np.testing.assert_allclose(np.asarray(got["rgb"]),
+                               np.asarray(ref["rgb"]), atol=7e-3)
+    np.testing.assert_allclose(np.asarray(got["opacity"]),
+                               np.asarray(ref["opacity"]), atol=7e-3)
 
 
 def test_fused_render_early_exit_is_lossless():
