@@ -14,6 +14,13 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
+# NOTE (round 4, benchmarks/ab_fastexp.py): jnp.exp and jax.nn.sigmoid do
+# NOT need this treatment — Mosaic lowers them essentially at the
+# elementwise floor on v5e (exp 0.545 ms vs mul floor 0.488 ms at 131k x
+# 128 x 8 chained applications; a 2^n-bit-trick + deg-5 polynomial exp
+# measured 3x SLOWER at 1.686 ms). The sin/cos slowness is specific to
+# sin/cos. Audit transcendentals, but measure before replacing.
+
 
 def _sincos_fast(x, want_sin: bool = True, want_cos: bool = False):
     """sin/cos by explicit range reduction + minimax polynomials — the
