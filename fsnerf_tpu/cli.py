@@ -219,7 +219,7 @@ def evaluate_split(model, params, grid, split, cfg, chunksize=16384,
             n_samples=cfg.sampling.n_samples, n_fine=cfg.sampling.n_fine,
             render_step_size=cfg.sampling.render_step_size,
             ndc=split.ndc, white_bkgd=split.white_bkgd, chunksize=chunksize,
-            n_compact=cfg.sampling.n_compact,
+            n_compact=eval_k,
             chunk_renderer=chunk_renderer, mesh=mesh)
         preds.append(img)           # stays on device: metrics are computed
     preds = jnp.stack(preds)        # there, and only scalars (plus the final

@@ -243,6 +243,12 @@ class TrainConfig:
     # async measured SLOWER). False = compile-blocking swaps whose step
     # schedule is exactly reproducible.
     async_ladder: Optional[bool] = None
+    # Divergence guard (train/loop.py::DivergenceGuard): a non-finite loss
+    # always halts (Adam params are already poisoned); a train-PSNR collapse
+    # (>10 dB below the best seen) warns, and additionally halts when this
+    # is set. Motivated by two real silent 8k-step divergences (BASELINE.md:
+    # the r3 dilated-od collapse and the r4 occ-reg "both" arms).
+    halt_on_divergence: bool = False
 
 
 @dataclass(frozen=True)
@@ -431,6 +437,10 @@ def config_parser() -> argparse.ArgumentParser:
     g.add_argument("--seed", default=42, type=int)
     g.add_argument("--dtype", choices=["float32", "bfloat16"],
                    default="bfloat16")
+    g.add_argument("--halt_on_divergence", action="store_true",
+                   help="Stop training when the divergence guard trips on a "
+                        "train-PSNR collapse (non-finite loss always halts; "
+                        "default: warn and keep training)")
 
     g = p.add_argument_group("parallel")
     g.add_argument("--n_devices", default=0, type=int,
@@ -548,6 +558,7 @@ _FLAG_MAP = {
     "resume": ("train", "resume"),
     "import_torch_ckpt": ("train", "import_torch_ckpt"),
     "async_ladder": ("train", "async_ladder"),
+    "halt_on_divergence": ("train", "halt_on_divergence"),
     "n_devices": ("parallel", "n_devices"),
     "distributed": ("parallel", "distributed"),
     "out_dir": ("log", "out_dir"),

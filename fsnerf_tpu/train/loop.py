@@ -11,6 +11,7 @@ via lax.scan.
 from __future__ import annotations
 
 import json
+import logging
 import math
 import os
 import threading
@@ -18,6 +19,8 @@ import time
 from typing import Callable, Optional
 
 import jax
+
+_log = logging.getLogger(__name__)
 
 from fsnerf_tpu.train.state import TrainState
 from fsnerf_tpu.train.step import (
@@ -103,6 +106,60 @@ class CompactionController:
         import dataclasses
         return cfg.replace(sampling=dataclasses.replace(
             cfg.sampling, n_compact=self.k))
+
+
+class DivergenceGuard:
+    """Detect silent training divergence at the existing log-boundary metric
+    fetch (zero extra device traffic). Motivated by two real incidents that
+    each trained a diverged model silently for a full 8k-step run
+    (BASELINE.md: the r3 dilated-od collapse and the r4 occ-reg "both" arms,
+    which ended at -7.3/-39.2 dB). Two trips:
+
+    - non-finite loss/PSNR: ALWAYS halts — the Adam moments are already
+      poisoned, every further step is wasted compute;
+    - train-PSNR collapse (current PSNR more than `drop_db` below the best
+      seen, after `warmup` steps): warns loudly once, and halts only when
+      `halt_on_collapse` (cfg.train.halt_on_divergence) is set — a collapse
+      can be transient (e.g. right after an occupancy-grid refresh), so
+      halting is opt-in.
+    """
+
+    def __init__(self, halt_on_collapse: bool = False, drop_db: float = 10.0,
+                 warmup: int = 500):
+        self.halt_on_collapse = bool(halt_on_collapse)
+        self.drop_db = float(drop_db)
+        self.warmup = int(warmup)
+        self.best_psnr: Optional[float] = None
+        self.tripped = False
+
+    def observe(self, step: int, metrics: dict) -> bool:
+        """Feed one fetched metrics dict; True => stop training now."""
+        loss = float(metrics.get("loss", 0.0))
+        psnr = float(metrics.get("psnr", 0.0))
+        if not (math.isfinite(loss) and math.isfinite(psnr)):
+            _log.error(
+                "Divergence guard: non-finite training metrics at step %d "
+                "(loss=%r, psnr=%r) — halting (optimizer state is poisoned; "
+                "lower the LR or disable the regularizer that diverged).",
+                step, loss, psnr)
+            self.tripped = True
+            return True
+        if step < self.warmup:
+            return False
+        if self.best_psnr is None or psnr > self.best_psnr:
+            self.best_psnr = psnr
+        elif psnr < self.best_psnr - self.drop_db:
+            if not self.tripped:
+                _log.warning(
+                    "Divergence guard: train PSNR collapsed to %.2f dB at "
+                    "step %d (best seen %.2f dB, threshold drop %.1f dB)%s",
+                    psnr, step, self.best_psnr, self.drop_db,
+                    " — halting (--halt_on_divergence)."
+                    if self.halt_on_collapse else
+                    "; continuing (pass --halt_on_divergence to stop).")
+            self.tripped = True
+            return self.halt_on_collapse
+        return False
 
 
 class _AsyncBuild:
@@ -252,6 +309,8 @@ def train(
 
     compactor = CompactionController(cfg)
     schedule = make_schedule(cfg)
+    guard = DivergenceGuard(
+        halt_on_collapse=getattr(cfg.train, "halt_on_divergence", False))
 
     # Dispatch in lax.scan chunks between callback boundaries: per-step
     # dispatch from the single host core costs ~5-10 ms/step — at 250k
@@ -360,6 +419,8 @@ def train(
             m["n_compact"] = compactor.k
             if logger:
                 logger.log(k, m)
+            if guard.observe(k, m):
+                break
         if cfg.train.val and val_fn and k % cfg.train.val_rate == 0:
             val_metrics = val_fn(state, k)
             if logger and val_metrics:

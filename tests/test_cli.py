@@ -233,6 +233,50 @@ def test_derive_eval_n_compact_covers_deep_views(monkeypatch):
     assert k_multi >= 16
 
 
+def test_evaluate_split_threads_eval_k_into_render_frame(monkeypatch):
+    """evaluate_split must pass the DERIVED eval-K to render_frame, not the
+    config ceiling (VERDICT r4 weak #6): the prebuilt chunk_renderer makes
+    the kwarg inert today, but a caller dropping chunk_renderer would
+    silently render at the ceiling (e.g. 192 vs the converged grid's ~64)."""
+    import jax.numpy as jnp
+
+    import fsnerf_tpu.cli as cli
+    import fsnerf_tpu.render.renderer as renderer
+    from fsnerf_tpu.config import Config, SamplingConfig
+
+    cfg = Config(sampling=SamplingConfig(n_compact=192))
+    seen = {}
+    monkeypatch.setattr(cli, "make_render_model_fn",
+                        lambda *a, **k: (lambda x, d=None: None))
+    monkeypatch.setattr(cli, "make_fused_render_fn", lambda *a, **k: None)
+    monkeypatch.setattr(cli, "derive_eval_n_compact", lambda *a, **k: 64)
+    monkeypatch.setattr(renderer, "make_chunk_renderer",
+                        lambda *a, **k: object())
+
+    def fake_render_frame(*a, **k):
+        seen["n_compact"] = k["n_compact"]
+        return jnp.zeros((4, 4, 3)), jnp.zeros((4, 4))
+
+    monkeypatch.setattr(renderer, "render_frame", fake_render_frame)
+    import fsnerf_tpu.eval.lpips as lpips_mod
+    import fsnerf_tpu.eval.metrics as metrics_mod
+    monkeypatch.setattr(lpips_mod, "load_lpips", lambda: None)
+    monkeypatch.setattr(metrics_mod, "evaluate_frames",
+                        lambda *a, **k: {"psnr": 0.0})
+
+    class Split:
+        poses = np.eye(4)[None]
+        hwf = (4, 4, 4.0)
+        near, far, ndc, white_bkgd = 2.0, 6.0, False, True
+        aabb = np.array([-1.5] * 3 + [1.5] * 3)
+        imgs = np.zeros((1, 4, 4, 3), np.float32)
+
+    monkeypatch.setattr(
+        "fsnerf_tpu.ops.occgrid.resolve_query_stride", lambda *a, **k: 1)
+    cli.evaluate_split(None, None, None, Split, cfg)
+    assert seen["n_compact"] == 64
+
+
 def test_render_model_fn_sinerf_fused_wiring(monkeypatch):
     """make_render_model_fn routes sinerf through the fused SIREN kernel
     when resolve_fused_kernel says so (cli.py gate), matching the XLA model;

@@ -235,3 +235,43 @@ def test_train_async_ladder_swap(scene, async_ladder):
     assert int(state.step) == cfg.train.n_iters
     assert swaps, "ladder never moved — test config no longer forces a swap"
     assert jnp.isfinite(state.params["params"]["layers_0"]["kernel"]).all()
+
+
+def test_divergence_guard_unit():
+    """DivergenceGuard semantics: non-finite metrics always halt; a PSNR
+    collapse (>drop_db below best, post-warmup) warns and halts only when
+    halt_on_collapse is set (VERDICT r4 next #3 — two real silent 8k-step
+    divergences motivated this)."""
+    from fsnerf_tpu.train.loop import DivergenceGuard
+
+    g = DivergenceGuard(halt_on_collapse=False, drop_db=10.0, warmup=100)
+    assert not g.observe(100, {"loss": 0.1, "psnr": 20.0})
+    assert not g.observe(200, {"loss": 0.1, "psnr": 25.0})
+    # collapse below best-10: warns (tripped) but does NOT halt by default
+    assert not g.observe(300, {"loss": 5.0, "psnr": 12.0})
+    assert g.tripped
+    # non-finite ALWAYS halts, flag or not
+    assert g.observe(400, {"loss": float("nan"), "psnr": 20.0})
+
+    h = DivergenceGuard(halt_on_collapse=True, drop_db=10.0, warmup=100)
+    assert not h.observe(50, {"loss": 0.1, "psnr": 3.0})   # warmup: ignored
+    assert not h.observe(100, {"loss": 0.1, "psnr": 25.0})
+    assert h.observe(200, {"loss": 5.0, "psnr": 12.0})     # halts with flag
+
+
+def test_divergence_guard_halts_diverging_run(scene):
+    """A deliberately diverging config (NaN learning rate poisons the params
+    on the first update, the reference-style failure mode of the r4 occ-reg
+    'both' arms at full scale) must halt train() at the first log boundary
+    instead of silently training to n_iters."""
+    from fsnerf_tpu.train.loop import train
+
+    cfg = _tiny_cfg("occgrid")
+    import dataclasses
+    cfg = cfg.replace(train=dataclasses.replace(
+        cfg.train, n_iters=100, batch_size=64, lro=float("nan")))
+    model = make_model(cfg)
+    pool = pool_from_images(scene.imgs, scene.poses, scene.hwf)
+    state = train(model, cfg, pool, scene, log_every=10)
+    assert int(state.step) < cfg.train.n_iters, (
+        "guard failed to halt a NaN run")
