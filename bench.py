@@ -237,6 +237,32 @@ def main():
     hier_rays_sec = h_bench * batch_size / (time.perf_counter() - t0)
     _stamp("hierarchical section done")
 
+    # hierarchical RENDER throughput (VERDICT r4 weak #3): config-2
+    # eval/video rendering through the XLA coarse/fine pipeline — the same
+    # path cli.evaluate_split/render_path take for strategy=hierarchical
+    # (the reference renders eval frames through the training path,
+    # rendering.py:110-177). Fusion decision: see BASELINE.md r5. Guarded:
+    # a failure here must not cost the headline JSON line.
+    hier_render_rays_sec = float("nan")
+    try:
+        def model_fn_h(x, d=None):
+            return model.apply(state_h.params, x, d)
+        hier_renderer = make_chunk_renderer(
+            model_fn_h, strategy="hierarchical", n_samples=cfg_h.sampling.n_samples,
+            n_fine=cfg_h.sampling.n_fine, white_bkgd=True,
+            near=scene.near, far=scene.far)
+        jax.block_until_ready(hier_renderer(*chunks[0]))   # compile
+        t0 = time.perf_counter()
+        for ro, rd in chunks:
+            out = hier_renderer(ro, rd)
+        # fetch fence (CLAUDE.md: block_until_ready can lie on axon)
+        float(np.asarray(out[0]).ravel()[0])
+        hier_render_rays_sec = len(chunks) * 16384 / (time.perf_counter()
+                                                      - t0)
+        _stamp("hierarchical render section done")
+    except Exception as e:
+        _stamp(f"hierarchical render section FAILED: {type(e).__name__}: {e}")
+
     # secondary metric: SiNeRF training throughput (stderr) — the SIREN
     # model family through its fused saved-acts kernel (ops/pallas/siren.py).
     # Same steady-state protocol as the headline: warm past grid warmup +
@@ -313,6 +339,7 @@ def main():
           f" | render {render_rays_sec:.0f} rays/s"
           f" | fused_render {fused_render_rays_sec:.0f} rays/s"
           f" | hierarchical {hier_rays_sec:.0f} rays/s"
+          f" | hier_render {hier_render_rays_sec:.0f} rays/s"
           f" | sinerf {sinerf_rays_sec:.0f} rays/s"
           f" | sinerf_render {sinerf_render_rays_sec:.0f} rays/s"
           f" | baseline anchor: 5x A100@{A100_TRAIN_RAYS_PER_SEC:.0f} rays/s",

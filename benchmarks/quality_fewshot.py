@@ -31,9 +31,28 @@ Arms:
         reference's own --ao mechanism at its documented operating point.
   both  freq + occ.
 
+r5 extensions (VERDICT r4 missing #1/#2):
+  --scene lattice   the procedural lego-like box lattice (thin rods, holes,
+                    self-occlusion, high-frequency checker albedo,
+                    data/synthetic.py::LatticeScene) — the geometry regime
+                    of the reference's headline `lego` benchmark
+                    (/root/reference/src/utils/parser.py:62-64) that the
+                    smooth convex sphere cannot exercise.
+  --floaters        composite view-INCONSISTENT translucent blobs into the
+                    TRAINING images only (data/synthetic.py::add_floaters);
+                    held-out GT stays clean. This is the occlusion
+                    regularizer's DESIGN regime (reference loss.py:6-60):
+                    the photometric optimum for inconsistent content is
+                    density parked just inside the AABB in front of each
+                    camera — a near-camera floater occ reg exists to kill.
+  --strategy hierarchical   train AND eval with classic coarse/fine
+                    sampling instead of the occupancy grid.
+
 Run:  python benchmarks/quality_fewshot.py [--arms base,freq,occ,both]
                                            [--nviews 3,8] [--seeds 0,1]
                                            [--iters 8000] [--hw 800]
+                                           [--scene sphere|lattice]
+                                           [--floaters] [--strategy ...]
 Appends one JSON line per run to benchmarks/quality_fewshot.jsonl and
 prints a BASELINE.md-ready table at the end.
 """
@@ -50,9 +69,9 @@ import numpy as np
 OUT = os.path.join(os.path.dirname(__file__), "quality_fewshot.jsonl")
 
 
-def arm_config(arm: str, seed: int, iters: int):
+def arm_config(arm: str, seed: int, iters: int, strategy: str = "occgrid"):
     from fsnerf_tpu.config import (Config, DataConfig, EncoderConfig,
-                                   TrainConfig)
+                                   SamplingConfig, TrainConfig)
     enc_kw = {}
     train_kw = {}
     base_arm = arm.split("-")[0]
@@ -62,7 +81,10 @@ def arm_config(arm: str, seed: int, iters: int):
     # the MSE scale)
     occ_a = float(arm.split("-", 1)[1]) if "-" in arm else 1.0
     if base_arm in ("freq", "both"):
-        enc_kw["freq_reg_end"] = int(0.9 * iters)
+        # "freq-0.4" = anneal ends at 0.4*iters (short-anneal calibration,
+        # VERDICT r4 weak #5); bare "freq" keeps the FreeNeRF-paper ~90%.
+        frac = occ_a if (base_arm == "freq" and "-" in arm) else 0.9
+        enc_kw["freq_reg_end"] = int(frac * iters)
     if base_arm in ("occ", "both"):
         train_kw.update(occ_a=occ_a, occ_b=2.0, occ_func="exp", beta=1.0)
     if base_arm == "wreg":
@@ -70,10 +92,13 @@ def arm_config(arm: str, seed: int, iters: int):
                         reg_ratio=0.5, reg="l1")
     if base_arm not in ("base", "freq", "occ", "wreg", "both"):
         raise ValueError(arm)
+    samp = (dict(strategy="hierarchical", n_samples=64, n_fine=128)
+            if strategy == "hierarchical" else dict(strategy="occgrid"))
     return Config(
         data=DataConfig(dataset="sphere", white_bkgd=True),
         encoder=EncoderConfig(**enc_kw),
         train=TrainConfig(n_iters=iters, seed=seed, **train_kw),
+        sampling=SamplingConfig(**samp),
     )
 
 
@@ -83,7 +108,8 @@ def train_indices(n: int, total: int = 8):
 
 
 def run_one(arm: str, nviews: int, seed: int, iters: int, scene,
-            eval_scene, eval_gt) -> dict:
+            eval_scene, eval_gt, scene_name: str = "sphere",
+            floaters: bool = False, strategy: str = "occgrid") -> dict:
     from fsnerf_tpu.cli import make_render_model_fn
     from fsnerf_tpu.core.models import make_model
     from fsnerf_tpu.data.pool import pool_from_images
@@ -91,10 +117,15 @@ def run_one(arm: str, nviews: int, seed: int, iters: int, scene,
     from fsnerf_tpu.render.renderer import render_frame
     from fsnerf_tpu.train.loop import train
 
-    cfg = arm_config(arm, seed, iters)
+    cfg = arm_config(arm, seed, iters, strategy)
     model = make_model(cfg)
     idx = train_indices(nviews, len(scene.poses))
-    pool = pool_from_images(scene.imgs[idx], scene.poses[idx], scene.hwf)
+    train_imgs = scene.imgs[idx]
+    if floaters:
+        from fsnerf_tpu.data.synthetic import add_floaters
+        train_imgs = add_floaters(train_imgs, scene.poses[idx], scene.hwf,
+                                  seed=97)
+    pool = pool_from_images(train_imgs, scene.poses[idx], scene.hwf)
 
     t0 = time.perf_counter()
     state = train(model, cfg, pool, scene, log_every=2000)
@@ -102,19 +133,29 @@ def run_one(arm: str, nviews: int, seed: int, iters: int, scene,
     train_s = time.perf_counter() - t0
 
     model_fn = make_render_model_fn(model, state.params, cfg)
-    grid = state.grid.replace(occs_q=None, query_dilation=0)
+    grid = (state.grid.replace(occs_q=None, query_dilation=0)
+            if state.grid is not None else None)
     frames = []
     for pose in eval_scene.poses:
-        img, _ = render_frame(
-            model_fn, jnp.asarray(pose), scene.hwf, scene.near, scene.far,
-            strategy="occgrid", grid=grid, n_samples=cfg.sampling.n_samples,
-            render_step_size=cfg.sampling.render_step_size,
-            white_bkgd=True, n_compact=192, query_stride=1,
-            early_stop_eps=cfg.sampling.early_stop_eps)
+        if strategy == "hierarchical":
+            img, _ = render_frame(
+                model_fn, jnp.asarray(pose), scene.hwf, scene.near,
+                scene.far, strategy="hierarchical",
+                n_samples=cfg.sampling.n_samples,
+                n_fine=cfg.sampling.n_fine, white_bkgd=True)
+        else:
+            img, _ = render_frame(
+                model_fn, jnp.asarray(pose), scene.hwf, scene.near,
+                scene.far, strategy="occgrid", grid=grid,
+                n_samples=cfg.sampling.n_samples,
+                render_step_size=cfg.sampling.render_step_size,
+                white_bkgd=True, n_compact=192, query_stride=1,
+                early_stop_eps=cfg.sampling.early_stop_eps)
         frames.append(img)
     m = evaluate_frames(jnp.stack(frames), eval_gt)
     return {
         "arm": arm, "nviews": nviews, "seed": seed, "iters": iters,
+        "scene": scene_name, "floaters": floaters, "strategy": strategy,
         "heldout_psnr": round(float(m["psnr"]), 3),
         "heldout_ssim": round(float(m["ssim"]), 4),
         "train_s": round(train_s, 1),
@@ -130,39 +171,59 @@ def main():
     ap.add_argument("--seeds", default="0,1")
     ap.add_argument("--iters", type=int, default=8000)
     ap.add_argument("--hw", type=int, default=800)
+    ap.add_argument("--scene", choices=["sphere", "lattice"],
+                    default="sphere")
+    ap.add_argument("--floaters", action="store_true")
+    ap.add_argument("--strategy", choices=["occgrid", "hierarchical"],
+                    default="occgrid")
     ap.add_argument("--out", default=OUT)
     args = ap.parse_args()
     OUT = args.out
 
     from fsnerf_tpu.utils.profiling import enable_compilation_cache
     enable_compilation_cache()
-    from fsnerf_tpu.data.synthetic import SphereScene
 
-    scene = SphereScene(n_imgs=8, hw=args.hw)
-    eval_scene = SphereScene(n_imgs=3, hw=args.hw, seed=101)
+    if args.scene == "sphere":
+        from fsnerf_tpu.data.synthetic import SphereScene
+        scene = SphereScene(n_imgs=8, hw=args.hw)
+        eval_scene = SphereScene(n_imgs=3, hw=args.hw, seed=101)
+    else:
+        from fsnerf_tpu.data.synthetic import LatticeScene
+        scene = LatticeScene(n_imgs=8, hw=args.hw)
+        eval_scene = scene.holdout(n=3, seed=101)
     eval_gt = jnp.asarray(eval_scene.imgs)
+
+    def key(r):
+        return (r["arm"], r["nviews"], r["seed"], r["iters"],
+                r.get("scene", "sphere"), r.get("floaters", False),
+                r.get("strategy", "occgrid"))
 
     done = set()
     if os.path.exists(OUT):
         with open(OUT) as fh:
-            for line in fh:
-                r = json.loads(line)
-                done.add((r["arm"], r["nviews"], r["seed"], r["iters"]))
+            done = {key(json.loads(line)) for line in fh}
 
     for nviews in [int(s) for s in args.nviews.split(",")]:
         for seed in [int(s) for s in args.seeds.split(",")]:
             for arm in args.arms.split(","):
-                if (arm, nviews, seed, args.iters) in done:
+                if (arm, nviews, seed, args.iters, args.scene,
+                        args.floaters, args.strategy) in done:
                     print(f"skip {arm} n={nviews} seed {seed}")
                     continue
                 rec = run_one(arm, nviews, seed, args.iters, scene,
-                              eval_scene, eval_gt)
+                              eval_scene, eval_gt, scene_name=args.scene,
+                              floaters=args.floaters,
+                              strategy=args.strategy)
                 with open(OUT, "a") as fh:
                     fh.write(json.dumps(rec) + "\n")
                 print(json.dumps(rec), flush=True)
 
     with open(OUT) as fh:
-        allr = [json.loads(l) for l in fh if json.loads(l)["iters"] == args.iters]
+        allr = [json.loads(l) for l in fh]
+    allr = [r for r in allr
+            if r["iters"] == args.iters and r.get("scene", "sphere") ==
+            args.scene and r.get("floaters", False) == args.floaters
+            and r.get("strategy", "occgrid") == args.strategy]
     seeds = sorted({r["seed"] for r in allr})
     print("\n| n | arm | " + " | ".join(f"seed {s}" for s in seeds)
           + " | mean PSNR | mean SSIM |")

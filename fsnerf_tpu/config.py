@@ -75,6 +75,17 @@ class ModelConfig:
     # flag); measured on v5e in benchmarks/ab_block_rows.py /
     # ab_save_acts.py.
     fused_block_rows: Optional[int] = None
+    # Forward-kernel row-block size (None = fused_block_rows). The forward
+    # has no resident grad accumulators, so it tolerates far larger blocks
+    # than the backward; larger forward blocks amortize per-grid-step
+    # overhead (the r4 sol decomposition pinned the forward as scheduling-
+    # bound at 0.67-0.80 ms vs its 0.428 ms GEMM ideal). Measured on v5e in
+    # benchmarks/ab_pipeline.py. Programmatic tuning knob (no CLI flag).
+    fused_fwd_block_rows: Optional[int] = None
+    # Mosaic scoped-VMEM cap for the fused train kernels in MB (None = 32).
+    # v5e physically has 128 MB VMEM/core; blocks > 1024 rows need more
+    # than the 32 MB default.
+    fused_vmem_limit_mb: Optional[int] = None
     # Saved-acts stream stride: save every stride-th trunk activation
     # (plus the last) and regenerate the gaps in the backward, one GEMM per
     # gap layer (ops/pallas/mlp_train.py::_reconstruct_h). Gradients bitwise
@@ -114,7 +125,7 @@ class ModelConfig:
 class DataConfig:
     """Dataset options (reference: parser.py:55-91)."""
 
-    dataset: str = "synthetic"      # synthetic | llff | sphere (procedural test scene)
+    dataset: str = "synthetic"      # synthetic | llff | sphere | lattice (procedural test scenes)
     scene: str = "lego"
     n_imgs: int = 100
     white_bkgd: bool = False
@@ -383,7 +394,7 @@ def config_parser() -> argparse.ArgumentParser:
                         "occgrid + single-chip)")
 
     g = p.add_argument_group("data")
-    g.add_argument("--dataset", choices=["synthetic", "llff", "sphere"],
+    g.add_argument("--dataset", choices=["synthetic", "llff", "sphere", "lattice"],
                    default="synthetic")
     g.add_argument("--scene", default="lego", type=str)
     g.add_argument("--n_imgs", default=100, type=int)

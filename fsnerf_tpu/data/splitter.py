@@ -9,7 +9,8 @@ deterministic k-means (data/kmeans.py).
 Fixed reference gaps (SURVEY.md appendix): the reference Splitter only
 supports LLFF (`--dataset synthetic` raises at splitter.py:166-169, breaking
 the headline Blender few-shot path through main()); this splitter handles
-synthetic (Blender), llff, and the procedural sphere scene uniformly.
+synthetic (Blender), llff, and the procedural sphere/lattice scenes
+uniformly.
 """
 
 from __future__ import annotations
@@ -86,10 +87,11 @@ class Splitter:
             self.path_poses = ds.path_poses
             self._ndc = False
             self._synth_meta = ds
-        elif dataset_type == "sphere":
-            from fsnerf_tpu.data.synthetic import SphereScene
-            ds = SphereScene(n_imgs=max(24, (n_training_views or 8) * 3),
-                             white_bkgd=white_bkgd, seed=seed)
+        elif dataset_type in ("sphere", "lattice"):
+            from fsnerf_tpu.data.synthetic import LatticeScene, SphereScene
+            cls = SphereScene if dataset_type == "sphere" else LatticeScene
+            ds = cls(n_imgs=max(24, (n_training_views or 8) * 3),
+                     white_bkgd=white_bkgd, seed=seed)
             self._imgs, self._poses = ds.imgs, ds.poses
             self._hwf = ds.hwf
             self._bounds = None

@@ -47,6 +47,11 @@ def _sigmoid(x):
     return jax.nn.sigmoid(x)
 
 
+def _lcm(a: int, b: int) -> int:
+    import math
+    return a * b // math.gcd(a, b)
+
+
 def _split_rows(x, j):
     """Static row split into j independent sub-blocks (interleaving unit)."""
     if j == 1:
@@ -425,7 +430,9 @@ def make_fused_train_mlp(n_layers: int, skip: Tuple[int, ...],
                          block_rows: int = 1024, interpret: bool = False,
                          save_acts: bool = False, interleave: int = 1,
                          acts_stride: int = 1,
-                         encode: Optional[Tuple[int, int]] = None):
+                         encode: Optional[Tuple[int, int]] = None,
+                         fwd_block_rows: Optional[int] = None,
+                         vmem_limit_mb: Optional[int] = None):
     """Build a custom-VJP fused MLP: (flat_weights, encx, encd) -> [N, 4].
 
     flat_weights order = _weight_names(n_layers, skip); shapes as produced by
@@ -471,6 +478,19 @@ def make_fused_train_mlp(n_layers: int, skip: Tuple[int, ...],
     BOTH strategies (occgrid 374.6k -> 345.8k; hierarchical 145.7k ->
     132.0k) — the acts stream it halves was already DMA-overlapped. Default
     1; knob kept for TPU generations with a different VMEM/HBM balance.
+
+    fwd_block_rows: row-block size for the FORWARD kernels only (None =
+    block_rows). The forward carries no resident grad accumulators, so it
+    tolerates much larger blocks than the backward; larger forward blocks
+    amortize per-grid-step overheads and give Mosaic a longer straight-line
+    body to schedule (the r4 sol decomposition pinned the forward at
+    0.67-0.80 ms vs a 0.428 ms GEMM ideal with every VPU-strip variant
+    inside noise — i.e. scheduling-bound, not compute-bound). Callers must
+    pad rows to a multiple of max(block_rows, fwd_block_rows).
+
+    vmem_limit_mb: Mosaic scoped-VMEM cap (None = 32). v5e physically has
+    128 MB VMEM/core; the default 32 covers 1024-row blocks in every mode,
+    larger blocks need more headroom.
     """
     names = _weight_names(n_layers, skip)
     if block_rows % interleave:
@@ -489,18 +509,21 @@ def make_fused_train_mlp(n_layers: int, skip: Tuple[int, ...],
     # in-kernel encx to shave the acts stream instead measured WORSE
     # (stack grew 16.79 -> 17.48 M: the f32 regen GEMM temp does not
     # overlap with the grad-GEMM temps).
-    compiler_params = pltpu.CompilerParams(vmem_limit_bytes=32 * 1024 * 1024)
+    compiler_params = pltpu.CompilerParams(
+        vmem_limit_bytes=(vmem_limit_mb or 32) * 1024 * 1024)
+    fwd_rows = fwd_block_rows or block_rows
 
-    def row_spec(cols):
-        return pl.BlockSpec((block_rows, cols), lambda i: (i, 0),
+    def row_spec(cols, rows=block_rows):
+        return pl.BlockSpec((rows, cols), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
 
-    def input_specs(inputs):
+    def input_specs(inputs, rows=block_rows):
         """Row-blocked specs for encx/encd, or x16/d16 + resident [3, L]
         packed lane-constant operands in encode mode."""
         if encode is None:
-            return [row_spec(inputs[0].shape[1]), row_spec(inputs[1].shape[1])]
-        return [row_spec(16), row_spec(16),
+            return [row_spec(inputs[0].shape[1], rows),
+                    row_spec(inputs[1].shape[1], rows)]
+        return [row_spec(16, rows), row_spec(16, rows),
                 pl.BlockSpec(memory_space=pltpu.VMEM),
                 pl.BlockSpec(memory_space=pltpu.VMEM)]
 
@@ -512,20 +535,21 @@ def make_fused_train_mlp(n_layers: int, skip: Tuple[int, ...],
                                      tuple(skip), names, interleave,
                                      saved_layers, encode)
             n_saved = len(saved_layers)
-            out_specs = (row_spec(4), row_spec(n_saved * D))
+            out_specs = (row_spec(4, fwd_rows), row_spec(n_saved * D,
+                                                         fwd_rows))
             out_shape = (jax.ShapeDtypeStruct((n, 4), jnp.float32),
                          jax.ShapeDtypeStruct((n, n_saved * D),
                                               jnp.bfloat16))
         else:
             kern = functools.partial(_fwd_kernel, n_layers, tuple(skip),
                                      names, interleave, encode)
-            out_specs = row_spec(4)
+            out_specs = row_spec(4, fwd_rows)
             out_shape = jax.ShapeDtypeStruct((n, 4), jnp.float32)
         return pl.pallas_call(
             kern,
-            grid=(n // block_rows,),
+            grid=(n // fwd_rows,),
             in_specs=[
-                *input_specs(inputs),
+                *input_specs(inputs, fwd_rows),
                 *[pl.BlockSpec(memory_space=pltpu.VMEM) for _ in flat],
             ],
             out_specs=out_specs,
@@ -604,6 +628,7 @@ def make_fused_train_mlp(n_layers: int, skip: Tuple[int, ...],
         fused.defvjp(
             lambda flat, x16, d16, cx, cd: forward(flat, x16, d16, cx, cd),
             backward)
+    fused.pad_rows = _lcm(block_rows, fwd_rows)
     return fused, names
 
 
@@ -616,6 +641,8 @@ def make_fused_train_model_fn(
     interleave: Optional[int] = None,
     acts_stride: Optional[int] = None,
     encode_in_kernel: Optional[bool] = None,
+    fwd_block_rows: Optional[int] = None,
+    vmem_limit_mb: Optional[int] = None,
 ):
     """Drop-in trainable model_fn factory for the train step.
 
@@ -652,6 +679,10 @@ def make_fused_train_model_fn(
         acts_stride = getattr(model_cfg, "fused_acts_stride", None) or 1
     if encode_in_kernel is None:
         encode_in_kernel = bool(getattr(model_cfg, "fused_encode", True))
+    if fwd_block_rows is None:
+        fwd_block_rows = getattr(model_cfg, "fused_fwd_block_rows", None)
+    if vmem_limit_mb is None:
+        vmem_limit_mb = getattr(model_cfg, "fused_vmem_limit_mb", None)
     encode = ((enc_cfg.n_freqs, enc_cfg.n_freqs_views)
               if encode_in_kernel else None)
     fused, _ = make_fused_train_mlp(n_layers, skip, block_rows=block_rows,
@@ -659,7 +690,10 @@ def make_fused_train_model_fn(
                                     save_acts=save_acts,
                                     interleave=interleave,
                                     acts_stride=acts_stride,
-                                    encode=encode)
+                                    encode=encode,
+                                    fwd_block_rows=fwd_block_rows,
+                                    vmem_limit_mb=vmem_limit_mb)
+    pad_rows = fused.pad_rows
 
     if encode_in_kernel:
         def tile16(v, n_pad):
@@ -677,7 +711,7 @@ def make_fused_train_model_fn(
             shape = x.shape[:-1]
             xr = x.reshape(-1, 3)
             n = xr.shape[0]
-            n_pad = _round_up(max(n, block_rows), block_rows)
+            n_pad = _round_up(max(n, pad_rows), pad_rows)
             cx = encode_lane_operand(enc_cfg.n_freqs, enc_cfg.log_space,
                                      pos_mask)
             cd = encode_lane_operand(enc_cfg.n_freqs_views,
@@ -697,7 +731,7 @@ def make_fused_train_model_fn(
         encd = positional_encoding(dirs.reshape(-1, 3), enc_cfg.n_freqs_views,
                                    enc_cfg.log_space, dir_mask)
         n = encx.shape[0]
-        n_pad = _round_up(max(n, block_rows), block_rows)
+        n_pad = _round_up(max(n, pad_rows), pad_rows)
         ex = jnp.zeros((n_pad, prepped["d_enc_pad"]), jnp.bfloat16)
         ex = ex.at[:n, : encx.shape[1]].set(encx.astype(jnp.bfloat16))
         ed = jnp.zeros((n_pad, prepped["d_dir_pad"]), jnp.bfloat16)
