@@ -244,6 +244,7 @@ def main():
     # rendering.py:110-177). Fusion decision: see BASELINE.md r5. Guarded:
     # a failure here must not cost the headline JSON line.
     hier_render_rays_sec = float("nan")
+    hier_fused_render_rays_sec = float("nan")
     try:
         def model_fn_h(x, d=None):
             return model.apply(state_h.params, x, d)
@@ -260,6 +261,26 @@ def main():
         hier_render_rays_sec = len(chunks) * 16384 / (time.perf_counter()
                                                       - t0)
         _stamp("hierarchical render section done")
+
+        # r5: fused fine pass — the ray-march kernel marches the sorted
+        # coarse+fine union (renderer.py::render_rays_hierarchical)
+        fused_h = make_fused_ray_renderer(
+            state_h.params, n_layers=cfg.model.n_layers,
+            skip=tuple(cfg.model.skip), n_freqs=cfg.encoder.n_freqs,
+            n_freqs_views=cfg.encoder.n_freqs_views, early_stop_eps=1e-4)
+        hier_fused_renderer = make_chunk_renderer(
+            model_fn_h, strategy="hierarchical",
+            n_samples=cfg_h.sampling.n_samples,
+            n_fine=cfg_h.sampling.n_fine, white_bkgd=True,
+            near=scene.near, far=scene.far, fused_render_fn=fused_h)
+        jax.block_until_ready(hier_fused_renderer(*chunks[0]))   # compile
+        t0 = time.perf_counter()
+        for ro, rd in chunks:
+            out = hier_fused_renderer(ro, rd)
+        float(np.asarray(out[0]).ravel()[0])
+        hier_fused_render_rays_sec = len(chunks) * 16384 / (
+            time.perf_counter() - t0)
+        _stamp("hierarchical fused render section done")
     except Exception as e:
         _stamp(f"hierarchical render section FAILED: {type(e).__name__}: {e}")
 
@@ -340,6 +361,7 @@ def main():
           f" | fused_render {fused_render_rays_sec:.0f} rays/s"
           f" | hierarchical {hier_rays_sec:.0f} rays/s"
           f" | hier_render {hier_render_rays_sec:.0f} rays/s"
+          f" | hier_fused_render {hier_fused_render_rays_sec:.0f} rays/s"
           f" | sinerf {sinerf_rays_sec:.0f} rays/s"
           f" | sinerf_render {sinerf_render_rays_sec:.0f} rays/s"
           f" | baseline anchor: 5x A100@{A100_TRAIN_RAYS_PER_SEC:.0f} rays/s",

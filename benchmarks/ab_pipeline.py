@@ -88,20 +88,24 @@ def main():
             return None
 
     matrix = [
-        # (bwd block, fwd block, vmem MB)   baseline first
-        (1024, 1024, 32),
-        (1024, 2048, 64),
-        (1024, 4096, 100),
-        (1024, 8192, 100),
-        (2048, 2048, 100),
-        (2048, 4096, 100),
+        # (bwd block, fwd block, vmem MB, fwd dim semantics) baseline first
+        (1024, 1024, 32, None),
+        (1024, 2048, 64, None),
+        (1024, 4096, 100, None),
+        (1024, 8192, 100, None),
+        (2048, 2048, 100, None),
+        (2048, 4096, 100, None),
+        # grid-axis semantics on the (independent-step) forward grid
+        (1024, 1024, 32, "parallel"),
+        (1024, 1024, 32, "arbitrary"),
     ]
     results = {}
-    for bwd_b, fwd_b, mb in matrix:
+    for bwd_b, fwd_b, mb, sem in matrix:
         fused, _ = make_fused_train_mlp(
             n_layers, skip, block_rows=bwd_b, save_acts=True,
             encode=(enc.n_freqs, enc.n_freqs_views),
-            fwd_block_rows=fwd_b, vmem_limit_mb=mb)
+            fwd_block_rows=fwd_b, vmem_limit_mb=mb,
+            fwd_dim_semantics=sem)
 
         def fwd_only(s, x16_, d16_, cx_, cd_, *fl, f=fused):
             return f(fl, x16_ + s * 1e-8, d16_, cx_, cd_)
@@ -112,17 +116,16 @@ def main():
             (dfl,) = vjp(do_)
             return dfl[0]
 
-        tf = timeit(f"fwd  b{bwd_b}/f{fwd_b}/v{mb}", fwd_only,
-                    x16, d16, cx, cd, *flat)
-        tb = timeit(f"step b{bwd_b}/f{fwd_b}/v{mb}", fwd_bwd,
-                    x16, d16, cx, cd, dout, *flat)
+        tag = f"b{bwd_b}/f{fwd_b}/v{mb}" + (f"/{sem}" if sem else "")
+        tf = timeit(f"fwd  {tag}", fwd_only, x16, d16, cx, cd, *flat)
+        tb = timeit(f"step {tag}", fwd_bwd, x16, d16, cx, cd, dout, *flat)
         if tf is not None and tb is not None:
-            results[(bwd_b, fwd_b, mb)] = (tf, tb)
+            results[(bwd_b, fwd_b, mb, sem)] = (tf, tb)
 
     print("\nideal: fwd 0.428 ms, fwd+bwd ~1.25 ms at bench shapes "
           "(sol_mlp.py analytic)")
     for k, (tf, tb) in sorted(results.items(), key=lambda kv: kv[1][1]):
-        print(f"  bwd {k[0]:>5} fwd {k[1]:>5} vmem {k[2]:>3}: "
+        print(f"  bwd {k[0]:>5} fwd {k[1]:>5} vmem {k[2]:>3} {k[3] or '-':>9}: "
               f"fwd {tf*1e3:6.3f} ms, fwd+vjp {tb*1e3:6.3f} ms")
 
 

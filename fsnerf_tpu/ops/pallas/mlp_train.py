@@ -432,7 +432,8 @@ def make_fused_train_mlp(n_layers: int, skip: Tuple[int, ...],
                          acts_stride: int = 1,
                          encode: Optional[Tuple[int, int]] = None,
                          fwd_block_rows: Optional[int] = None,
-                         vmem_limit_mb: Optional[int] = None):
+                         vmem_limit_mb: Optional[int] = None,
+                         fwd_dim_semantics: Optional[str] = None):
     """Build a custom-VJP fused MLP: (flat_weights, encx, encd) -> [N, 4].
 
     flat_weights order = _weight_names(n_layers, skip); shapes as produced by
@@ -491,6 +492,12 @@ def make_fused_train_mlp(n_layers: int, skip: Tuple[int, ...],
     vmem_limit_mb: Mosaic scoped-VMEM cap (None = 32). v5e physically has
     128 MB VMEM/core; the default 32 covers 1024-row blocks in every mode,
     larger blocks need more headroom.
+
+    fwd_dim_semantics: Mosaic dimension_semantics for the FORWARD kernels'
+    1-D row-block grid (None = Mosaic default). The forward's grid steps
+    are independent, so "parallel" is legal there; the backward's are NOT
+    (VMEM-resident grad accumulation across steps) and always stay
+    default/arbitrary. Probe knob (benchmarks/ab_pipeline.py).
     """
     names = _weight_names(n_layers, skip)
     if block_rows % interleave:
@@ -511,6 +518,11 @@ def make_fused_train_mlp(n_layers: int, skip: Tuple[int, ...],
     # overlap with the grad-GEMM temps).
     compiler_params = pltpu.CompilerParams(
         vmem_limit_bytes=(vmem_limit_mb or 32) * 1024 * 1024)
+    fwd_compiler_params = (compiler_params if fwd_dim_semantics is None
+                           else pltpu.CompilerParams(
+                               vmem_limit_bytes=(vmem_limit_mb or 32)
+                               * 1024 * 1024,
+                               dimension_semantics=(fwd_dim_semantics,)))
     fwd_rows = fwd_block_rows or block_rows
 
     def row_spec(cols, rows=block_rows):
@@ -555,7 +567,7 @@ def make_fused_train_mlp(n_layers: int, skip: Tuple[int, ...],
             out_specs=out_specs,
             out_shape=out_shape,
             interpret=interpret,
-            compiler_params=compiler_params,
+            compiler_params=fwd_compiler_params,
         )(*inputs, *flat)
 
     def bwd_call(flat, inputs, acts, dout):

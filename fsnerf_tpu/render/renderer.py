@@ -256,11 +256,21 @@ def render_rays_hierarchical(
     key: Optional[jax.Array] = None,
     white_bkgd: bool = False,
     coarse_model_fn: Optional[Callable] = None,
+    fused_render_fn: Optional[Callable] = None,
 ) -> Tuple[dict, dict]:
     """Classic-NeRF coarse/fine rendering with inverse-CDF resampling.
 
     BASELINE.json config 2. `coarse_model_fn` defaults to `model_fn` (shared
     network for both passes — the reference project has a single MLP).
+
+    `fused_render_fn` (eval/video only — no VJP): run the FINE pass through
+    the fused Pallas ray-march kernel (ops/pallas/render.py) instead of the
+    XLA model_fn + volume_render stage. The coarse pass stays XLA (the CDF
+    needs per-sample weights, which the kernel does not emit); the kernel
+    marches the full sorted coarse∪fine union (192 samples at the default
+    64+128), trading the shared-network coarse-output reuse for the
+    kernel's fused MLP+compositing and exact early exit on the sorted t
+    ordering. Semantics: reference rendering.py:110-177 eval path.
 
     With the shared network the fine pass does NOT re-evaluate the model at
     the coarse positions: the same network at the same positions returns the
@@ -292,6 +302,20 @@ def render_rays_hierarchical(
     coarse.update(sigmas=out4_c[..., 3], t_vals=t_c, mask=None)
 
     w = jax.lax.stop_gradient(coarse["weights"])
+    if fused_render_fn is not None and shared:
+        # fused fine pass: sorted union of coarse+fine t marched by the
+        # Pallas ray-march kernel (MLP + compositing + early exit in one
+        # kernel). No payload merge needed — the kernel re-evaluates the
+        # union, so only the t ORDER matters here.
+        mids = 0.5 * (t_c[..., 1:] + t_c[..., :-1])
+        t_new = sample_pdf(k2, mids, w[..., 1:-1], n_fine)
+        t_f = jnp.sort(jnp.concatenate([t_c, t_new], axis=-1), axis=-1)
+        d_f = _deltas_from_t(t_f, far)
+        x_f = sample_points(rays_o, rays_d, t_f)
+        fine = dict(fused_render_fn(x_f, rays_d, t_f, d_f,
+                                    jnp.ones_like(t_f, jnp.bool_), bkgd))
+        fine.update(t_vals=t_f, mask=None)
+        return coarse, fine
     if shared:
         # new fine samples only; merge with the cached coarse outputs
         mids = 0.5 * (t_c[..., 1:] + t_c[..., :-1])
@@ -327,7 +351,7 @@ def _render_rays_dispatch(model_fn, rays_o, rays_d, key, white_bkgd, *,
             query_stride=query_stride, fused_render_fn=fused_render_fn)
     _, fine = render_rays_hierarchical(
         model_fn, rays_o, rays_d, near, far, n_samples, n_fine,
-        key=key, white_bkgd=white_bkgd)
+        key=key, white_bkgd=white_bkgd, fused_render_fn=fused_render_fn)
     return fine
 
 
