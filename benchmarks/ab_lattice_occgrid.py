@@ -38,6 +38,14 @@ OUT = os.path.join(os.path.dirname(__file__), "ab_lattice_occgrid.jsonl")
 
 ARMS = {
     "base": {},
+    # post-erosion-fix defaults (r5): identical config to "base", separate
+    # key so the jsonl keeps the pre-fix collapse row for the record.
+    "fixed": {},
+    # occ_thre=-1 makes the binarization threshold min(-1, mean) = -1, so
+    # EVERY cell stays occupied forever: the definitive no-culling arm. If
+    # quality recovers here, the grid's EMA/refresh loop is culling thin
+    # structure before the MLP can learn it (chicken-and-egg).
+    "allocc": dict(occ_thre=-1.0),
     "nocompact": dict(adapt_compact=False),
     "fullk": dict(n_compact=0, adapt_compact=False),
     "undil": dict(query_dilation=0, query_stride=1),
@@ -72,7 +80,8 @@ def run_one(arm: str, nviews: int, seed: int, iters: int, scene,
     train_s = time.perf_counter() - t0
 
     model_fn = make_render_model_fn(model, state.params, cfg)
-    grid = state.grid.replace(occs_q=None, query_dilation=0)
+    from fsnerf_tpu.ops import occgrid as og
+    grid = og.conservative(state.grid)
     # common conservative eval for every arm (as quality_fewshot.py)
     frames, train_frames = [], []
     for pose in eval_scene.poses:

@@ -133,7 +133,8 @@ def run_one(arm: str, nviews: int, seed: int, iters: int, scene,
     train_s = time.perf_counter() - t0
 
     model_fn = make_render_model_fn(model, state.params, cfg)
-    grid = (state.grid.replace(occs_q=None, query_dilation=0)
+    from fsnerf_tpu.ops import occgrid as og
+    grid = (og.conservative(state.grid)
             if state.grid is not None else None)
     frames = []
     for pose in eval_scene.poses:

@@ -105,7 +105,8 @@ def run_one(arm: str, seed: int, iters: int, scene, eval_cache) -> dict:
             white_bkgd=True)
     else:
         # common eval protocol: undilated grid, stride 1, fixed K 192, XLA
-        grid = state.grid.replace(occs_q=None, query_dilation=0)
+        from fsnerf_tpu.ops import occgrid as og
+        grid = og.conservative(state.grid)
         img, _ = render_frame(
             model_fn, jnp.asarray(scene.poses[-1]), scene.hwf, scene.near,
             scene.far, strategy="occgrid", grid=grid,

@@ -36,21 +36,35 @@ class OccGrid:
     occs: jax.Array        # [L, res**3] float32 EMA occupancy values
     occs_q: Optional[jax.Array]
                            # [L, res**3] uint32 PACKED query table: high 16
-                           # bits = the cell's own occ as bf16 (the early-
-                           # termination optical-depth estimate — it must be
-                           # point-accurate: feeding the dilated max into
-                           # the transmittance estimate masks real surfaces
-                           # behind their own dilation shell and collapses
-                           # training, r3 study), low 16 bits = occ
-                           # max-pooled over a (2*query_dilation+1)^2 XY
-                           # window as bf16 (the stride-lossless occupancy
-                           # test). One row gather serves both. None when
-                           # query_dilation == 0 (queries read occs directly
-                           # — an aliased copy would break buffer donation
-                           # of the train state). The Z dilation of the
-                           # occupancy half happens at query time as a
-                           # lane-window max over the gathered row — free,
-                           # no extra table.
+                           # bits = occ ERODED over a Chebyshev radius of
+                           # query_dilation+1 cells, as bf16 (the early-
+                           # termination optical-depth estimate), low 16
+                           # bits = occ max-pooled over a
+                           # (2*query_dilation+1)^2 XY window as bf16 (the
+                           # stride-lossless occupancy test; the raw occ at
+                           # radius 0). One row gather serves both. The od
+                           # channel must UNDERESTIMATE the ray's true
+                           # optical depth: any overestimate truncates rays
+                           # before their true termination and training
+                           # parks floaters in the kept prefix. Feeding the
+                           # dilated max collapsed training through its own
+                           # dilation shell (r3 study); even the cell's OWN
+                           # occ is an overestimate for rays that merely
+                           # clip a surface cell — on thin geometry
+                           # (LatticeScene) grazing rays collect phantom od
+                           # from shell cells and the occgrid path lost
+                           # ~15 dB held-out vs early-stop-off (r5 study,
+                           # benchmarks/ab_lattice_occgrid.py). Erosion
+                           # zeroes every cell reachable without entering
+                           # the material, so od only accumulates strictly
+                           # inside solids — conservative by construction,
+                           # and it keeps the behind-surface pruning that
+                           # volumetric interiors (the bench sphere) rely
+                           # on. None = no od estimate (early stop
+                           # disabled); queries read occupancy from occs
+                           # directly. The Z halves of both windows happen
+                           # at query time as lane-window min/max over the
+                           # gathered row — free, no extra table.
     binaries: jax.Array    # [L, res**3] bool (= occs > thre; kept for
                            # diagnostics; queries derive occupancy from
                            # occs_q + thre with a single gather)
@@ -112,34 +126,57 @@ def _dilate_xy(occs: jax.Array, res: int, radius: int) -> jax.Array:
     return vol.reshape(L, res ** 3)
 
 
+def _erode_xy(occs: jax.Array, res: int, radius: int) -> jax.Array:
+    """Min-pool each level's [res, res, res] volume over a (2r+1)^2 window in
+    the (ix, iy) axes (separable shifted minima). Edge semantics: outside
+    the volume is EMPTY (occ 0), so boundary cells erode to 0 — a cell only
+    keeps its value if every XY neighbor within r exists and is at least as
+    occupied. The iz half of the erosion window is applied in-register at
+    query time (lane-window min), mirroring _dilate_xy."""
+    L = occs.shape[0]
+    vol = occs.reshape(L, res, res, res)
+    for axis in (1, 2):
+        for _ in range(radius):
+            zero = jnp.zeros_like(
+                vol[(slice(None),) * axis + (slice(0, 1),)])
+            lo = jnp.concatenate(
+                [vol[(slice(None),) * axis + (slice(1, None),)], zero],
+                axis=axis)
+            hi = jnp.concatenate(
+                [zero, vol[(slice(None),) * axis + (slice(0, -1),)]],
+                axis=axis)
+            vol = jnp.minimum(vol, jnp.minimum(lo, hi))
+    return vol.reshape(L, res ** 3)
+
+
 def _bf16_bits(x: jax.Array) -> jax.Array:
     """bf16 bit pattern of non-negative f32 values, as uint32 in [0, 2^16)."""
     b = jax.lax.bitcast_convert_type(x.astype(jnp.bfloat16), jnp.uint16)
     return b.astype(jnp.uint32)
 
 
-def _build_query_table(occs: jax.Array, res: int,
-                       radius: int) -> Optional[jax.Array]:
-    """Packed uint32 query table (see OccGrid.occs_q): the cell's own occ
-    (bf16, high bits) alongside the XY-dilated occupancy max (bf16, low
-    bits). The dilated half is nudged one bf16 ulp up before rounding so
-    bf16 quantization can never flip an occupied cell below the threshold.
-
-    Returns None at radius 0: queries then read `occs` directly (a separate
-    aliased copy would donate the same buffer twice under jit donation)."""
-    if radius <= 0:
-        return None
-    dil = _dilate_xy(occs, res, radius) * (1.0 + 2.0 ** -8)   # conservative
-    return (_bf16_bits(occs) << 16) | _bf16_bits(dil)
+def _build_query_table(occs: jax.Array, res: int, radius: int) -> jax.Array:
+    """Packed uint32 query table (see OccGrid.occs_q): the eroded od channel
+    (bf16, high bits; XY erosion radius = query radius + 1, covering the
+    strided query's up-to-`radius`-cell position slack plus one cell for
+    the sample's own shell) alongside the XY-dilated occupancy max (bf16,
+    low bits; the raw occ at radius 0). Both halves are nudged one bf16 ulp
+    in their CONSERVATIVE direction before rounding: occupancy up (a flip
+    below threshold would hide a surface), od down (a flip up would
+    truncate a ray early)."""
+    ero = _erode_xy(occs, res, radius + 1) * (1.0 - 2.0 ** -8)
+    base = occs if radius <= 0 else _dilate_xy(occs, res, radius)
+    dil = base * (1.0 + 2.0 ** -8)   # conservative
+    return (_bf16_bits(ero) << 16) | _bf16_bits(dil)
 
 
 def _unpack_query_rows(rows: jax.Array):
-    """(own_occ, dilated_occ) f32 halves of packed uint32 query-table rows."""
-    own = jax.lax.bitcast_convert_type(
+    """(eroded_occ, dilated_occ) f32 halves of packed uint32 query rows."""
+    ero = jax.lax.bitcast_convert_type(
         (rows >> 16).astype(jnp.uint16), jnp.bfloat16).astype(jnp.float32)
     dil = jax.lax.bitcast_convert_type(
         (rows & 0xFFFF).astype(jnp.uint16), jnp.bfloat16).astype(jnp.float32)
-    return own, dil
+    return ero, dil
 
 
 def level_aabb(base_aabb: jax.Array, level: int) -> jax.Array:
@@ -196,31 +233,41 @@ def query(grid: OccGrid, x: jax.Array) -> jax.Array:
 
 
 def _gather_query_values(grid: OccGrid, row: jax.Array, z: jax.Array):
-    """ONE whole-z-row gather -> (own_occ, occupancy_value) per query.
+    """ONE whole-z-row gather -> (eroded_occ, occupancy_value) per query.
 
-    own_occ: the queried cell's own EMA occ (the early-termination optical-
-    depth estimate — must be point-accurate, see OccGrid.occs_q).
+    eroded_occ: the Chebyshev-eroded EMA occ (the early-termination
+    optical-depth estimate — must UNDERESTIMATE, see OccGrid.occs_q; the
+    XY erosion lives in the packed table, the Z half is an in-register
+    lane-window MIN, with out-of-volume z treated as empty). 0 when the
+    grid has no query table (no od estimate -> early stop inert).
     occupancy_value: the value the `> thre` occupancy test uses — the
     Chebyshev-dilated max when query_dilation > 0 (XY half from the packed
-    table, Z half as an in-register lane-window max), else own_occ.
+    table, Z half as an in-register lane-window max), else the cell's own
+    occ.
     """
     res = grid.resolution
     n2 = grid.levels * res * res
     radius = grid.query_dilation
     iota_shape = (*row.shape, res)
     iota = jax.lax.broadcasted_iota(jnp.int32, iota_shape, len(row.shape))
+    hit = iota == z[..., None]
     if grid.occs_q is None:
         rows = grid.occs.reshape(n2, res)[row]
-        hit = iota == z[..., None]
         own = jnp.sum(rows * hit.astype(rows.dtype), axis=-1)
-        return own, own
+        return jnp.zeros_like(own), own
     rows = grid.occs_q.reshape(n2, res)[row]
-    own_rows, dil_rows = _unpack_query_rows(rows)
-    hit = iota == z[..., None]
-    own = jnp.sum(own_rows * hit.astype(own_rows.dtype), axis=-1)
-    win = jnp.abs(iota - z[..., None]) <= radius
-    dil = jnp.max(jnp.where(win, dil_rows, -jnp.inf), axis=-1)
-    return own, dil
+    ero_rows, dil_rows = _unpack_query_rows(rows)
+    er = radius + 1
+    win_e = jnp.abs(iota - z[..., None]) <= er
+    ero = jnp.min(jnp.where(win_e, ero_rows, jnp.inf), axis=-1)
+    # z-window rows clipped by the volume boundary see EMPTY outside
+    ero = jnp.where((z < er) | (z > res - 1 - er), 0.0, ero)
+    if radius > 0:
+        win = jnp.abs(iota - z[..., None]) <= radius
+        dil = jnp.max(jnp.where(win, dil_rows, -jnp.inf), axis=-1)
+    else:
+        dil = jnp.sum(dil_rows * hit.astype(dil_rows.dtype), axis=-1)
+    return ero, dil
 
 
 def auto_query_stride(aabb, resolution: int, step_size: float,
@@ -284,8 +331,9 @@ def resolve_query_plan(sampling_cfg, aabb):
     radius 1/stride 4 at unchanged settled K, and quality-NEUTRAL at full
     scale (3-seed 8k-iter study, BASELINE.md r3: the r3s8 arm's mean
     held-out PSNR 28.06 is the best of all arms). The od-based early
-    termination always reads the cell's OWN occ (packed table), so the
-    shell never feeds the transmittance estimate.
+    termination reads the ERODED occ (packed table, radius+1), so neither
+    the dilation shell nor clipped surface cells ever feed the
+    transmittance estimate (r5 erosion fix, OccGrid.occs_q).
     """
     if sampling_cfg.strategy != "occgrid":
         return 1, 0
@@ -314,14 +362,17 @@ def resolve_query_stride(sampling_cfg, aabb) -> int:
 
 
 def query_with_density(grid: OccGrid, x: jax.Array):
-    """Like query(), also returning the cell's EMA occupancy VALUE.
+    """Like query(), also returning an EMA occupancy od ESTIMATE.
 
-    The value is occ_eval's EMA, i.e. approximately sigma * render_step_size
-    of the cell (run-nerf.py:288-289) — a cheap standing estimate of optical
-    depth used for transmittance-based early termination (the dense
-    counterpart of nerfacc's sigma_fn visibility pruning at sampling time,
-    reference rendering.py:66-74; nerfacc evaluates the live MLP for this,
-    we use the 16-step-EMA grid).
+    The value is the Chebyshev-ERODED EMA of occ_eval ~= sigma *
+    render_step_size (run-nerf.py:288-289) — a standing UNDERestimate of
+    per-sample optical depth for transmittance-based early termination
+    (the dense counterpart of nerfacc's sigma_fn visibility pruning at
+    sampling time, reference rendering.py:66-74; nerfacc evaluates the
+    live MLP for this, we use the 16-step-EMA grid, eroded so od only
+    accumulates strictly inside material — see OccGrid.occs_q for why an
+    overestimate collapses training on thin geometry). 0 (early stop
+    inert) when the grid carries no query table.
 
     Returns:
       (occupied [...] bool, occ_value [...] float32).
@@ -343,8 +394,8 @@ def query_with_density(grid: OccGrid, x: jax.Array):
         found = found | inb
     # ONE gather serves both outputs: occupancy is derived as
     # dilated_value > thre (the update stores the binarization threshold) and
-    # the od estimate is the cell's OWN occ, unpacked from the same packed
-    # row (see OccGrid.occs_q — the dilated max must never feed the
+    # the od estimate is the ERODED occ, unpacked from the same packed
+    # row (see OccGrid.occs_q — any overestimate must never feed the
     # transmittance estimate). Measured: the gather cost is per ROW, ~linear
     # in row count and insensitive to row width/dtype — row COUNT is what
     # matters, hence the query_stride decimation in the renderer and the
@@ -495,6 +546,18 @@ def with_occs(grid: OccGrid, occs: jax.Array, thre) -> OccGrid:
                                   grid.query_dilation),
         binaries=occs > thre,
         thre=thre)
+
+
+def conservative(grid: OccGrid) -> OccGrid:
+    """Exact-occupancy EVAL view of a trained grid: undilated occupancy
+    queries (no false-positive shells, stride-1 semantics) with the eroded
+    od channel rebuilt at radius 0 (unbiased early termination). This is
+    the protocol quality studies should render under — a bare
+    grid.replace(occs_q=None) would also disable early termination
+    entirely (no od estimate), which is conservative but slower."""
+    return grid.replace(
+        query_dilation=0,
+        occs_q=_build_query_table(grid.occs, grid.resolution, 0))
 
 
 def occupancy_fraction(grid: OccGrid) -> jax.Array:

@@ -30,12 +30,16 @@ def _sincos_fast(x, want_sin: bool = True, want_cos: bool = False):
     |x| <= ~1e4 — SIREN arguments are |30 y| <= a few hundred; NeRF
     positional-encoding arguments are |2^(F-1) x| <= ~2k for grid-bounded
     points); sin(x) = (-1)^k sin(r), cos(x) = (-1)^k cos(r) with
-    |r| <= pi/2; odd deg-7 / even deg-8 minimax polynomials. Max abs error
-    vs f64 over |x| <= 40: ~9e-5 (sin) / ~1.3e-5 (cos) — both far below
-    the bf16 rounding (~4e-3 at 1.0) of every consumer: activations/
-    derivative factors/encoded features are consumed as bf16 by the next
-    GEMM in all paths. When BOTH sin and cos are needed, the range
-    reduction is shared.
+    |r| <= pi/2; odd deg-5 / even deg-8 minimax polynomials. The sin poly
+    is a TRUE minimax fit with a free leading coefficient (r5,
+    benchmarks/sol_siren_render.py): max abs error 6.8e-5 on the reduced
+    range — better than the previous non-equioscillating deg-7 (~9e-5)
+    and one FMA shorter (+4% on the fused SiNeRF render kernel, whose
+    sincos chain is 27% of runtime). Max abs error vs f64 over |x| <= 40:
+    ~7e-5 (sin) / ~1.3e-5 (cos) — both far below the bf16 rounding
+    (~4e-3 at 1.0) of every consumer: activations/derivative factors/
+    encoded features are consumed as bf16 by the next GEMM in all paths.
+    When BOTH sin and cos are needed, the range reduction is shared.
     """
     f32 = jnp.float32
     k = jnp.round(x * f32(0.3183098861837907))      # 1/pi
@@ -46,8 +50,8 @@ def _sincos_fast(x, want_sin: bool = True, want_cos: bool = False):
     r2 = r * r
     sin_x = cos_x = None
     if want_sin:
-        s = r * (f32(1.0) + r2 * (f32(-1.66666546e-1)
-                 + r2 * (f32(8.3321608e-3) + r2 * f32(-1.9515296e-4))))
+        s = r * (f32(9.99696825e-1) + r2 * (f32(-1.65673162e-1)
+                 + r2 * f32(7.51440369e-3)))
         sin_x = sign * s
     if want_cos:
         c = (f32(1.0) + r2 * (f32(-0.5) + r2 * (f32(4.166664568e-2)

@@ -145,7 +145,12 @@ def _masked_lattice(rays_o, rays_d, grid, n_samples, key,
 
     if early_stop_eps > 0:
         occupied, occ_val = expand(occupied), expand(occ_val)
-        # occ EMA values approximate sigma * render_step_size per cell
+        # occ_val is the ERODED EMA of sigma * render_step_size: od only
+        # accumulates strictly inside material, so this cumulative estimate
+        # UNDERestimates true optical depth and the mask can never truncate
+        # a ray before its true termination (grazing/thin-geometry bias fix,
+        # r5 — see OccGrid.occs_q). A grid with no query table yields 0
+        # here, making this branch inert.
         approx_od = jnp.where(valid, occ_val * (deltas / render_step_size),
                               0.0)
         cum = jnp.cumsum(approx_od, axis=-1)

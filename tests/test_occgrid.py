@@ -297,12 +297,32 @@ def test_stride4_dilated_mask_supersets_stride1():
                                np.asarray(out4["rgb"]), atol=0.03)
 
 
-def test_dilated_od_estimate_is_point_accurate():
-    """The early-termination value (query_with_density's second output) must
-    be the queried cell's OWN occ — NOT the dilated max. Feeding the dilated
-    max into the transmittance estimate masks real surfaces behind their own
-    dilation shell and collapses training (r3 full-scale study: held-out
-    PSNR 13.1 vs 29.2). bf16 pack quantization tolerance applies."""
+def _chebyshev_erode(occs: np.ndarray, res: int, r: int) -> np.ndarray:
+    """Reference 3D Chebyshev-min erosion with EMPTY (0) outside the
+    volume, matching _erode_xy + the query-time z-window min."""
+    L = occs.shape[0]
+    vol = occs.reshape(L, res, res, res)
+    pad = np.pad(vol, ((0, 0), (r, r), (r, r), (r, r)))
+    out = np.full_like(vol, np.inf)
+    for dx in range(-r, r + 1):
+        for dy in range(-r, r + 1):
+            for dz in range(-r, r + 1):
+                out = np.minimum(
+                    out, pad[:, r + dx:r + dx + res, r + dy:r + dy + res,
+                             r + dz:r + dz + res])
+    return out.reshape(L, res ** 3)
+
+
+def test_od_estimate_is_eroded_underestimate():
+    """The early-termination value (query_with_density's second output)
+    must UNDERESTIMATE optical depth: it is the Chebyshev erosion of occ
+    over radius query_dilation+1 (empty outside the volume). Any
+    overestimate truncates rays before their true termination: the dilated
+    max collapsed training behind its own shell (r3, held-out 13.1 vs
+    29.2); even the own-cell occ loses ~15 dB on thin geometry where
+    grazing rays clip surface cells (r5, benchmarks/ab_lattice_occgrid.py:
+    base 8.0 dB vs early-stop-off 23.0 dB). bf16 pack quantization rounds
+    the od channel DOWN (conservative)."""
     rng = np.random.default_rng(11)
     res = 16
     occs = rng.uniform(size=(1, res ** 3)).astype(np.float32)
@@ -311,14 +331,65 @@ def test_dilated_od_estimate_is_point_accurate():
     g1 = og.with_occs(og.create(AABB, resolution=res, levels=1,
                                 query_dilation=1), occs, thre=0.5)
     cell = 3.0 / res
-    x = jnp.asarray(rng.uniform(-1.5 + cell, 1.5 - cell, size=(256, 3)),
-                    jnp.float32)
+    x_np = rng.uniform(-1.5 + cell, 1.5 - cell, size=(256, 3)).astype(
+        np.float32)
+    x = jnp.asarray(x_np)
+    ijk = np.clip(((x_np + 1.5) / 3.0 * res).astype(np.int64), 0, res - 1)
+    flat = (ijk[:, 0] * res + ijk[:, 1]) * res + ijk[:, 2]
     _, v0 = og.query_with_density(g0, x)
     _, v1 = og.query_with_density(g1, x)
-    np.testing.assert_allclose(np.asarray(v1), np.asarray(v0),
-                               rtol=2 ** -8, atol=1e-6)
+    want0 = _chebyshev_erode(occs, res, 1)[0, flat]
+    want1 = _chebyshev_erode(occs, res, 2)[0, flat]
+    np.testing.assert_allclose(np.asarray(v0), want0, rtol=2 ** -7)
+    np.testing.assert_allclose(np.asarray(v1), want1, rtol=2 ** -7)
+    # strict underestimates of the sample's own cell occ (conservative)
+    assert (np.asarray(v0) <= occs[0, flat] + 1e-6).all()
+    assert (np.asarray(v1) <= np.asarray(v0) + 1e-6).all()
+    # a grid without a query table yields NO od estimate (early stop inert)
+    _, v_none = og.query_with_density(g0.replace(occs_q=None), x)
+    assert (np.asarray(v_none) == 0.0).all()
     # while the OCCUPANCY test uses the dilated max: anywhere the undilated
     # query is occupied, the dilated one must be too
     occ0 = np.asarray(og.query(g0, x))
     occ1 = np.asarray(og.query(g1, x))
     assert (occ1 | ~occ0).all()
+
+
+def test_early_stop_spares_grazing_rays_truncates_interiors():
+    """The r5 thin-geometry fix end-to-end at the mask level
+    (renderer._masked_lattice): a ray running INSIDE a one-cell-thick
+    occupied plane (the grazing/shell regime — every cell it crosses holds
+    surface EMA, but nothing is strictly interior) must lose NO samples to
+    early termination, while a ray crossing a solid block keeps losing its
+    deep-interior tail (the pruning the bench scene's volumetric occupancy
+    relies on)."""
+    from fsnerf_tpu.render.renderer import _masked_lattice
+
+    res = 32
+    cell = 3.0 / res
+    occs = np.zeros((1, res, res, res), np.float32)
+    kz = res // 2                       # one-cell-thick z-plane at z ~ 0
+    occs[0, :, :, kz] = 5.0             # huge phantom od under the old code
+    occs[0, 4:20, 4:20, 4:20] = 5.0     # solid block, interior >= 1 cell
+    grid = og.with_occs(
+        og.create(AABB, resolution=res, levels=1, query_dilation=0),
+        occs.reshape(1, -1), thre=1e-2)
+
+    z_mid = -1.5 + (kz + 0.5) * cell    # plane layer's z center
+    y_off = -1.5 + 25.5 * cell          # y-cell 25: clear of the block
+    rays_o = jnp.asarray([[-4.0, y_off, z_mid],        # inside plane layer
+                          [(12.5 / res) * 3.0 - 1.5, -4.0,
+                           (12.5 / res) * 3.0 - 1.5]], jnp.float32)
+    rays_d = jnp.asarray([[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]], jnp.float32)
+
+    def masks(eps):
+        _, _, mask, _ = _masked_lattice(
+            rays_o, rays_d, grid, 512, None, 5e-3, eps, 1)
+        return np.asarray(mask)
+
+    m_es, m_off = masks(1e-4), masks(0.0)
+    # grazing ray: early stop must cost it NOTHING (old code: truncated)
+    np.testing.assert_array_equal(m_es[0], m_off[0])
+    assert m_off[0].sum() > 100          # sanity: the plane ray IS occupied
+    # block-crossing ray: the deep-interior tail must still be pruned
+    assert m_es[1].sum() < m_off[1].sum() - 50
