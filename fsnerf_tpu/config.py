@@ -203,6 +203,14 @@ class SamplingConfig:
     update_interval_late: int = 64
     update_interval_late_start: int = 1024
     warmup_steps: int = 256
+    # Culling hold: keep every cell occupied (threshold -1; EMA still
+    # accumulates) until this step. -1 = auto: the encoder's freq_reg_end
+    # when FreeNeRF annealing is on, else 0. Rationale: the refresh
+    # evaluates the MASKED model, so with annealed frequency masking the
+    # grid culls thin structure the low-band-only model cannot yet form
+    # and those cells never receive samples again (measured -8.4 dB at
+    # n=8 on the lattice scene; BASELINE.md r5). 0 disables.
+    grid_hold_steps: int = -1
     # Fraction of grid cells refreshed per update after warmup (round-robin,
     # static shapes; nerfacc samples 1/4 of cells per update).
     update_parts: int = 4
@@ -437,6 +445,9 @@ def config_parser() -> argparse.ArgumentParser:
                    help="Refresh interval after the grid converges "
                         "(0 = keep update_interval for the whole run)")
     g.add_argument("--update_interval_late_start", default=1024, type=int)
+    g.add_argument("--grid_hold_steps", default=-1, type=int,
+                   help="hold grid culling (all cells occupied) until this "
+                        "step; -1 = auto (freq_reg_end when annealing)")
 
     g = p.add_argument_group("training")
     g.add_argument("--n_iters", default=20**3, type=int)
@@ -546,6 +557,7 @@ _FLAG_MAP = {
     "update_interval": ("sampling", "update_interval"),
     "update_interval_late": ("sampling", "update_interval_late"),
     "update_interval_late_start": ("sampling", "update_interval_late_start"),
+    "grid_hold_steps": ("sampling", "grid_hold_steps"),
     "n_iters": ("train", "n_iters"),
     "batch_size": ("train", "batch_size"),
     "lro": ("train", "lro"),

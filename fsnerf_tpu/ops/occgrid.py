@@ -449,6 +449,7 @@ def update(
     warmup_steps: int = 256,
     update_parts: int = 4,
     update_interval: int = 16,
+    hold_steps: int = 0,
     shard_axes=None,
 ) -> OccGrid:
     """One occupancy-grid refresh (nerfacc update_every_n_steps semantics).
@@ -524,6 +525,17 @@ def update(
     occs = jax.lax.cond(step < warmup_steps, full_update, partial_update,
                         grid.occs)
     thre = jnp.minimum(occ_thre, jnp.mean(occs))
+    if hold_steps:
+        # Culling hold (r5): while step < hold_steps the binarization
+        # threshold stays -1 (every cell occupied) but the EMA keeps
+        # accumulating, so culling starts from a warm grid the moment the
+        # hold lifts. Used to keep the grid from culling structure the
+        # FreeNeRF-masked encoder has not yet been ALLOWED to form: with
+        # annealed frequency masking the low-band-only early model has
+        # near-zero density at thin structure, the grid culls those cells,
+        # and they never receive samples again — measured -8.4 dB at n=8
+        # on the lattice scene (BASELINE.md r5 freq x occgrid study).
+        thre = jnp.where(step < hold_steps, jnp.float32(-1.0), thre)
     # The packed query table is rebuilt over the FULL volume each update
     # (dilation mixes neighbor cells, so a partial-slice rebuild would go
     # stale at slice borders): two separable shifted-max passes + the bf16

@@ -186,6 +186,9 @@ def maybe_update_grid(model, cfg, params, grid, step, k_grid,
         return model.apply(params, x, pos_mask=pos_mask)[..., 0]
 
     interval = resolve_update_interval(s_cfg, step)
+    hold = s_cfg.grid_hold_steps
+    if hold < 0:                       # auto: hold culling through the
+        hold = cfg.encoder.freq_reg_end or 0   # freq-anneal window
 
     def do_update(g):
         return og.update(
@@ -193,6 +196,7 @@ def maybe_update_grid(model, cfg, params, grid, step, k_grid,
             render_step_size=s_cfg.render_step_size,
             occ_thre=s_cfg.occ_thre, ema_decay=s_cfg.ema_decay,
             warmup_steps=s_cfg.warmup_steps,
+            hold_steps=hold,
             update_parts=s_cfg.update_parts,
             update_interval=interval,
             shard_axes=shard_axes)

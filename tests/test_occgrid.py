@@ -355,6 +355,30 @@ def test_od_estimate_is_eroded_underestimate():
     assert (occ1 | ~occ0).all()
 
 
+def test_culling_hold_keeps_cells_occupied_with_warm_ema():
+    """update(hold_steps=H): before H the binarization threshold stays -1
+    (every cell occupied — the freq-anneal culling hold, BASELINE.md r5)
+    while the EMA accumulates normally; after H culling resumes from the
+    warm EMA."""
+    res = 8
+    grid = og.create(AABB, resolution=res, levels=1)
+
+    def density_fn(x):                      # dense only near the origin
+        return jnp.where(jnp.linalg.norm(x, axis=-1) < 0.5, 200.0, 0.0)
+
+    kw = dict(render_step_size=5e-3, occ_thre=1e-2, warmup_steps=10**6,
+              hold_steps=100)
+    g1 = og.update(grid, density_fn, jax.random.key(0), jnp.int32(0), **kw)
+    assert float(g1.thre) == -1.0
+    assert bool(og.query(g1, jnp.zeros((1, 3)))[0])
+    assert bool(og.query(g1, jnp.full((1, 3), 1.3))[0])   # far corner: held
+    assert float(jnp.max(g1.occs)) > 0.5                  # EMA warm
+    g2 = og.update(g1, density_fn, jax.random.key(1), jnp.int32(100), **kw)
+    assert float(g2.thre) > 0.0
+    assert bool(og.query(g2, jnp.zeros((1, 3)))[0])
+    assert not bool(og.query(g2, jnp.full((1, 3), 1.3))[0])  # culled now
+
+
 def test_early_stop_spares_grazing_rays_truncates_interiors():
     """The r5 thin-geometry fix end-to-end at the mask level
     (renderer._masked_lattice): a ray running INSIDE a one-cell-thick
